@@ -1,0 +1,277 @@
+"""Reader/writer for .g2o text logs, including the reference's custom records.
+
+The bundled evaluation data (`/root/reference/datasets/2D/`) uses:
+
+- ``VERTEX_SE2 id x y theta``
+- ``VERTEX_XY id x y``                         (landmarks)
+- ``EDGE_SE2 i j dx dy dth  i11 i12 i13 i22 i23 i33``  (upper-tri info)
+- ``EDGE_SE2_XY i j dx dy  i11 i12 i22``
+- ``VERTEX_SE3:QUAT id x y z qx qy qz qw``
+- ``EDGE_SE3:QUAT i j x y z qx qy qz qw  <21 upper-tri info>``
+- ``FIX id``
+- ``PARAMS_SE3OFFSET id x y z qx qy qz qw``
+- ``LASER_ROBOT_DATA paramIndex firstBeamAngle fov res maxRange accuracy
+  remissionMode N <N ranges> [M <M remissions>] ...``  — a laser scan
+  attached to the most recent vertex (reference:
+  ``sensor_data/laser_robot_data.cpp`` read/write, fields per
+  ``laser_robot_data.h:40-100``).
+- ``DATA_FEATURE_POINTXY tag dim x y i11 i12 i22`` — a 2D feature observation
+  attached to the most recent vertex (reference: ``data/feature_data.h``;
+  used by ``slam/tracker_test.cpp`` for the *noassoc* datasets).
+
+Output is a plain-Python `G2OLog` of numpy arrays (host-side; conversion to
+device arrays happens in `graph.store`).
+"""
+from __future__ import annotations
+
+import gzip
+import io as _io
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = ["G2OLog", "LaserScan", "read_g2o", "write_g2o"]
+
+
+@dataclass
+class LaserScan:
+    """One 2D laser scan attached to a pose vertex."""
+
+    vertex_id: int
+    first_beam_angle: float
+    fov: float
+    angular_step: float
+    max_range: float
+    accuracy: float
+    ranges: np.ndarray  # (N,) float32
+    remissions: np.ndarray | None = None
+    # laser pose on the robot (x, y, theta), from PARAMS offset if present
+    offset: tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    @property
+    def angles(self) -> np.ndarray:
+        n = len(self.ranges)
+        return self.first_beam_angle + self.angular_step * np.arange(n, dtype=np.float32)
+
+
+@dataclass
+class G2OLog:
+    """Parsed contents of a .g2o file as struct-of-arrays."""
+
+    # SE2 pose vertices
+    se2_ids: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    se2_poses: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.float64))
+    # XY landmark vertices
+    xy_ids: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    xy_points: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.float64))
+    # SE3 pose vertices (x y z qx qy qz qw)
+    se3_ids: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    se3_poses: np.ndarray = field(default_factory=lambda: np.zeros((0, 7), np.float64))
+    # SE2-SE2 edges
+    edge_se2_ij: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.int64))
+    edge_se2_meas: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.float64))
+    edge_se2_info: np.ndarray = field(default_factory=lambda: np.zeros((0, 3, 3), np.float64))
+    # SE2-XY edges
+    edge_se2xy_ij: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.int64))
+    edge_se2xy_meas: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.float64))
+    edge_se2xy_info: np.ndarray = field(default_factory=lambda: np.zeros((0, 2, 2), np.float64))
+    # SE3-SE3 edges
+    edge_se3_ij: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.int64))
+    edge_se3_meas: np.ndarray = field(default_factory=lambda: np.zeros((0, 7), np.float64))
+    edge_se3_info: np.ndarray = field(default_factory=lambda: np.zeros((0, 6, 6), np.float64))
+    # Fixed vertex ids (gauge)
+    fixed_ids: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    # Attached data
+    laser_scans: list[LaserScan] = field(default_factory=list)
+    # feature observations: (vertex_id, x, y, i11, i12, i22)
+    features: np.ndarray = field(default_factory=lambda: np.zeros((0, 6), np.float64))
+    # params: id -> 7-vector offset
+    params_se3_offset: dict[int, np.ndarray] = field(default_factory=dict)
+
+
+def _sym_from_upper(vals, d):
+    """Upper-triangular row-major values -> symmetric (d,d) matrix."""
+    M = np.zeros((d, d))
+    k = 0
+    for r in range(d):
+        for c in range(r, d):
+            M[r, c] = vals[k]
+            M[c, r] = vals[k]
+            k += 1
+    return M
+
+
+def read_g2o(path_or_file) -> G2OLog:
+    """Parse a .g2o file (transparently handles .gz)."""
+    if hasattr(path_or_file, "read"):
+        fh = path_or_file
+        close = False
+    else:
+        path = str(path_or_file)
+        fh = gzip.open(path, "rt") if path.endswith(".gz") else open(path)
+        close = True
+
+    se2_ids, se2_poses = [], []
+    xy_ids, xy_points = [], []
+    se3_ids, se3_poses = [], []
+    e2_ij, e2_z, e2_w = [], [], []
+    exy_ij, exy_z, exy_w = [], [], []
+    e3_ij, e3_z, e3_w = [], [], []
+    fixed = []
+    scans: list[LaserScan] = []
+    feats = []
+    params: dict[int, np.ndarray] = {}
+    last_vertex = -1
+
+    try:
+        for line in fh:
+            tok = line.split()
+            if not tok or tok[0].startswith("#"):
+                continue
+            tag = tok[0]
+            if tag == "VERTEX_SE2":
+                last_vertex = int(tok[1])
+                se2_ids.append(last_vertex)
+                se2_poses.append([float(tok[2]), float(tok[3]), float(tok[4])])
+            elif tag == "VERTEX_XY":
+                last_vertex = int(tok[1])
+                xy_ids.append(last_vertex)
+                xy_points.append([float(tok[2]), float(tok[3])])
+            elif tag in ("VERTEX_SE3:QUAT", "VERTEX_SE3"):
+                last_vertex = int(tok[1])
+                se3_ids.append(last_vertex)
+                se3_poses.append([float(v) for v in tok[2:9]])
+            elif tag == "EDGE_SE2":
+                e2_ij.append([int(tok[1]), int(tok[2])])
+                e2_z.append([float(tok[3]), float(tok[4]), float(tok[5])])
+                e2_w.append(_sym_from_upper([float(v) for v in tok[6:12]], 3))
+            elif tag == "EDGE_SE2_XY":
+                exy_ij.append([int(tok[1]), int(tok[2])])
+                exy_z.append([float(tok[3]), float(tok[4])])
+                exy_w.append(_sym_from_upper([float(v) for v in tok[5:8]], 2))
+            elif tag in ("EDGE_SE3:QUAT", "EDGE_SE3"):
+                e3_ij.append([int(tok[1]), int(tok[2])])
+                e3_z.append([float(v) for v in tok[3:10]])
+                e3_w.append(_sym_from_upper([float(v) for v in tok[10:31]], 6))
+            elif tag == "FIX":
+                fixed.extend(int(v) for v in tok[1:])
+            elif tag == "PARAMS_SE3OFFSET":
+                params[int(tok[1])] = np.array([float(v) for v in tok[2:9]])
+            elif tag == "LASER_ROBOT_DATA":
+                # paramIndex firstBeamAngle fov res maxRange accuracy remissionMode
+                pidx = int(tok[1])
+                fba, fov, res = float(tok[2]), float(tok[3]), float(tok[4])
+                max_range, acc = float(tok[5]), float(tok[6])
+                n = int(tok[8])
+                ranges = np.array([float(v) for v in tok[9 : 9 + n]], np.float32)
+                rem = None
+                k = 9 + n
+                if k < len(tok):
+                    try:
+                        m = int(tok[k])
+                        if m > 0 and k + 1 + m <= len(tok):
+                            rem = np.array(
+                                [float(v) for v in tok[k + 1 : k + 1 + m]], np.float32
+                            )
+                    except ValueError:
+                        pass
+                off = (0.0, 0.0, 0.0)
+                if pidx in params:
+                    p = params[pidx]
+                    # use yaw of the 3D offset quaternion
+                    qx, qy, qz, qw = p[3:7]
+                    yaw = np.arctan2(
+                        2 * (qw * qz + qx * qy), 1 - 2 * (qy * qy + qz * qz)
+                    )
+                    off = (float(p[0]), float(p[1]), float(yaw))
+                scans.append(
+                    LaserScan(last_vertex, fba, fov, res, max_range, acc, ranges, rem, off)
+                )
+            elif tag == "DATA_FEATURE_POINTXY":
+                # tag dim x y i11 i12 i22  (attached to last vertex)
+                feats.append(
+                    [
+                        last_vertex,
+                        float(tok[3]),
+                        float(tok[4]),
+                        float(tok[5]),
+                        float(tok[6]),
+                        float(tok[7]),
+                    ]
+                )
+    finally:
+        if close:
+            fh.close()
+
+    return G2OLog(
+        se2_ids=np.asarray(se2_ids, np.int64),
+        se2_poses=np.asarray(se2_poses, np.float64).reshape(-1, 3),
+        xy_ids=np.asarray(xy_ids, np.int64),
+        xy_points=np.asarray(xy_points, np.float64).reshape(-1, 2),
+        se3_ids=np.asarray(se3_ids, np.int64),
+        se3_poses=np.asarray(se3_poses, np.float64).reshape(-1, 7),
+        edge_se2_ij=np.asarray(e2_ij, np.int64).reshape(-1, 2),
+        edge_se2_meas=np.asarray(e2_z, np.float64).reshape(-1, 3),
+        edge_se2_info=np.asarray(e2_w, np.float64).reshape(-1, 3, 3),
+        edge_se2xy_ij=np.asarray(exy_ij, np.int64).reshape(-1, 2),
+        edge_se2xy_meas=np.asarray(exy_z, np.float64).reshape(-1, 2),
+        edge_se2xy_info=np.asarray(exy_w, np.float64).reshape(-1, 2, 2),
+        edge_se3_ij=np.asarray(e3_ij, np.int64).reshape(-1, 2),
+        edge_se3_meas=np.asarray(e3_z, np.float64).reshape(-1, 7),
+        edge_se3_info=np.asarray(e3_w, np.float64).reshape(-1, 6, 6),
+        fixed_ids=np.asarray(sorted(set(fixed)), np.int64),
+        laser_scans=scans,
+        features=np.asarray(feats, np.float64).reshape(-1, 6),
+        params_se3_offset=params,
+    )
+
+
+def _upper(M):
+    d = M.shape[0]
+    return " ".join(repr(float(M[r, c])) for r in range(d) for c in range(r, d))
+
+
+def write_g2o(path, log: G2OLog) -> None:
+    """Write poses/landmarks/edges back out (data records are not re-emitted)."""
+    buf = _io.StringIO()
+    for i, vid in enumerate(log.se2_ids):
+        p = log.se2_poses[i]
+        buf.write(f"VERTEX_SE2 {int(vid)} {p[0]!r} {p[1]!r} {p[2]!r}\n")
+    for i, vid in enumerate(log.xy_ids):
+        p = log.xy_points[i]
+        buf.write(f"VERTEX_XY {int(vid)} {p[0]!r} {p[1]!r}\n")
+    for i, vid in enumerate(log.se3_ids):
+        p = log.se3_poses[i]
+        buf.write(
+            "VERTEX_SE3:QUAT %d %s\n" % (int(vid), " ".join(repr(float(v)) for v in p))
+        )
+    for vid in log.fixed_ids:
+        buf.write(f"FIX {int(vid)}\n")
+    for k in range(len(log.edge_se2_ij)):
+        i, j = log.edge_se2_ij[k]
+        z = log.edge_se2_meas[k]
+        buf.write(
+            f"EDGE_SE2 {int(i)} {int(j)} {z[0]!r} {z[1]!r} {z[2]!r} "
+            f"{_upper(log.edge_se2_info[k])}\n"
+        )
+    for k in range(len(log.edge_se2xy_ij)):
+        i, j = log.edge_se2xy_ij[k]
+        z = log.edge_se2xy_meas[k]
+        buf.write(
+            f"EDGE_SE2_XY {int(i)} {int(j)} {z[0]!r} {z[1]!r} "
+            f"{_upper(log.edge_se2xy_info[k])}\n"
+        )
+    for k in range(len(log.edge_se3_ij)):
+        i, j = log.edge_se3_ij[k]
+        z = log.edge_se3_meas[k]
+        buf.write(
+            "EDGE_SE3:QUAT %d %d %s %s\n"
+            % (
+                int(i),
+                int(j),
+                " ".join(repr(float(v)) for v in z),
+                _upper(log.edge_se3_info[k]),
+            )
+        )
+    with open(path, "w") as fh:
+        fh.write(buf.getvalue())

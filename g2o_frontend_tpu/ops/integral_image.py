@@ -1,0 +1,104 @@
+"""Integral images (summed-area tables) for windowed point statistics.
+
+TPU-native analog of ``pwn_core/pointintegralimage.{h,cpp}`` +
+``statscalculatorintegralimage.cpp``: the reference accumulates, per pixel, a
+9-channel integral image of (p, p p^T outer products, count) and reads
+rectangular window sums to get local point means/covariances in O(1).
+
+Here the integral image is two `cumsum`s (row + column) — a memory-bound
+XLA op that fuses well — and the windowed sum is a 4-corner gather expressed
+as static slices of the padded table, which XLA lowers to cheap dynamic
+slices instead of scatter/gather.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["integral_image", "window_sums", "window_moments"]
+
+
+def integral_image(x):
+    """Summed-area table with a leading zero row/col.
+
+    x: (H, W, C) -> (H+1, W+1, C) with
+    ``I[i, j] = sum(x[:i, :j])`` so window sums are exclusive-inclusive.
+    """
+    s = jnp.cumsum(jnp.cumsum(x, axis=0), axis=1)
+    H, W = x.shape[0], x.shape[1]
+    out = jnp.zeros((H + 1, W + 1) + x.shape[2:], dtype=x.dtype)
+    return out.at[1:, 1:].set(s)
+
+
+def window_sums(I, radii):
+    """Per-pixel windowed sums from an integral image.
+
+    Args:
+      I: (H+1, W+1, C) integral image.
+      radii: (H, W) int32 per-pixel half-window (the reference uses a
+        per-pixel radius shrinking with depth, ``statscalculator...cpp:33-50``)
+        OR a scalar int for a uniform window.
+
+    Returns:
+      (H, W, C) sums over the clipped window ``[i-r, i+r] x [j-r, j+r]``.
+    """
+    H, W = I.shape[0] - 1, I.shape[1] - 1
+    rows = jnp.arange(H)[:, None]
+    cols = jnp.arange(W)[None, :]
+    r = jnp.asarray(radii)
+    r0 = jnp.clip(rows - r, 0, H)
+    r1 = jnp.clip(rows + r + 1, 0, H)
+    c0 = jnp.clip(cols - r, 0, W)
+    c1 = jnp.clip(cols + r + 1, 0, W)
+    r0b, r1b = jnp.broadcast_to(r0, (H, W)), jnp.broadcast_to(r1, (H, W))
+    c0b, c1b = jnp.broadcast_to(c0, (H, W)), jnp.broadcast_to(c1, (H, W))
+    # 4-corner lookup
+    a = I[r1b, c1b]
+    b = I[r0b, c1b]
+    c = I[r1b, c0b]
+    d = I[r0b, c0b]
+    return a - b - c + d
+
+
+def window_moments(points, valid, radii):
+    """Local first/second moments of valid 3D points in a window.
+
+    Args:
+      points: (H, W, 3) unprojected 3D points.
+      valid:  (H, W) bool validity.
+      radii:  per-pixel or scalar half-window.
+
+    Returns:
+      (count (H,W), mean (H,W,3), cov (H,W,3,3)) where cov is the sample
+      covariance of window points (uncentered accumulation, centered here).
+    """
+    v = valid.astype(points.dtype)
+    p = points * v[..., None]
+    # channels: [count, px, py, pz, xx, xy, xz, yy, yz, zz]
+    outer = jnp.stack(
+        [
+            p[..., 0] * points[..., 0],
+            p[..., 0] * points[..., 1],
+            p[..., 0] * points[..., 2],
+            p[..., 1] * points[..., 1],
+            p[..., 1] * points[..., 2],
+            p[..., 2] * points[..., 2],
+        ],
+        axis=-1,
+    )
+    acc = jnp.concatenate([v[..., None], p, outer], axis=-1)  # (H, W, 10)
+    I = integral_image(acc)
+    S = window_sums(I, radii)
+    n = S[..., 0]
+    n_safe = jnp.maximum(n, 1.0)
+    mean = S[..., 1:4] / n_safe[..., None]
+    xx, xy, xz, yy, yz, zz = (S[..., 4 + k] for k in range(6))
+    m = mean
+    cov = jnp.stack(
+        [
+            jnp.stack([xx, xy, xz], -1),
+            jnp.stack([xy, yy, yz], -1),
+            jnp.stack([xz, yz, zz], -1),
+        ],
+        axis=-2,
+    ) / n_safe[..., None, None] - jnp.einsum("...i,...j->...ij", m, m)
+    return n, mean, cov

@@ -1,0 +1,225 @@
+"""Pose-graph optimizer tests on synthetic and bundled datasets.
+
+Covers the survey's Phase-1 milestone: chi2 must decrease strongly on the
+bundled ``datasets/2D`` graphs (SURVEY.md §7 Phase 1), and on synthetic noisy
+circles the solution must recover ground truth (the `ransac_test.cpp` /
+`GraphSimulator` fixture patterns, SURVEY.md §4)."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from g2o_frontend_tpu.graph.store import graph2d_from_log, graph3d_from_log
+from g2o_frontend_tpu.io.g2o import read_g2o
+from g2o_frontend_tpu.solvers import pose_graph as pg
+from g2o_frontend_tpu.utils import lie
+
+DATA = "/root/reference/datasets/2D"
+rng = np.random.default_rng(42)
+
+
+def make_circle_graph(n=60, radius=10.0, noise=0.05, n_loop=8):
+    """Noisy circle trajectory with odometry + loop closure edges."""
+    import g2o_frontend_tpu.io.g2o as g2o_io
+
+    gt = np.zeros((n, 3))
+    for i in range(n):
+        th = 2 * np.pi * i / n
+        gt[i] = [radius * np.cos(th), radius * np.sin(th), th + np.pi / 2]
+
+    def rel(a, b):
+        c, s = np.cos(a[2]), np.sin(a[2])
+        d = b[:2] - a[:2]
+        dth = (b[2] - a[2] + np.pi) % (2 * np.pi) - np.pi
+        return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1], dth])
+
+    edges_ij, edges_z = [], []
+    for i in range(n - 1):
+        edges_ij.append([i, i + 1])
+        edges_z.append(rel(gt[i], gt[i + 1]) + rng.normal(0, noise, 3))
+    # loop closures (exact, to anchor the solution)
+    for k in range(n_loop):
+        i = rng.integers(0, n)
+        j = (i + n // 2) % n
+        edges_ij.append([min(i, j), max(i, j)])
+        edges_z.append(rel(gt[min(i, j)], gt[max(i, j)]))
+    info = np.tile(np.diag([100.0, 100.0, 400.0]), (len(edges_ij), 1, 1))
+
+    # odometry-integrated initial guess
+    init = np.zeros((n, 3))
+    init[0] = gt[0]
+    for i in range(n - 1):
+        z = edges_z[i]
+        c, s = np.cos(init[i, 2]), np.sin(init[i, 2])
+        init[i + 1, 0] = init[i, 0] + c * z[0] - s * z[1]
+        init[i + 1, 1] = init[i, 1] + s * z[0] + c * z[1]
+        init[i + 1, 2] = init[i, 2] + z[2]
+
+    log = g2o_io.G2OLog(
+        se2_ids=np.arange(n),
+        se2_poses=init,
+        edge_se2_ij=np.asarray(edges_ij),
+        edge_se2_meas=np.asarray(edges_z),
+        edge_se2_info=info,
+        fixed_ids=np.array([0]),
+    )
+    return log, gt
+
+
+class TestSyntheticSE2:
+    def test_noiseless_circle_recovers_ground_truth(self):
+        log, gt = make_circle_graph(noise=0.0)
+        g, _ = graph2d_from_log(log)
+        g_opt, stats = pg.optimize_se2(g, iters=15, cg_iters=150)
+        assert float(stats.chi2[-1]) < 1e-4
+        n = len(gt)
+        est = np.asarray(g_opt.poses)[:n]
+        rmse = np.sqrt(np.mean(np.sum((est[:, :2] - gt[:, :2]) ** 2, axis=1)))
+        assert rmse < 1e-2, rmse
+
+    def test_noisy_circle_reaches_first_order_optimum(self):
+        log, gt = make_circle_graph(noise=0.05)
+        g, _ = graph2d_from_log(log)
+        chi2_before = float(pg.chi2_se2(g))
+        g_opt, stats = pg.optimize_se2(g, iters=15, cg_iters=150)
+        chi2_after = float(stats.chi2[-1])
+        assert chi2_after < chi2_before * 0.01
+        # first-order optimality: gradient of the masked chi2 ~ 0
+        lin = pg.linearize_se2(g_opt)
+        gp, _ = pg._grad_se2(g_opt, lin)
+        free = np.asarray((g_opt.pose_mask & ~g_opt.fixed))
+        gnorm = np.abs(np.asarray(gp)[free]).max()
+        assert gnorm < 0.5, gnorm
+
+    def test_gauge_fixed_pose_unmoved(self):
+        log, _ = make_circle_graph()
+        g, _ = graph2d_from_log(log)
+        p0 = np.asarray(g.poses)[0].copy()
+        g_opt, _ = pg.optimize_se2(g, iters=5, cg_iters=50)
+        np.testing.assert_allclose(np.asarray(g_opt.poses)[0], p0, atol=1e-6)
+
+    def test_landmark_graph(self):
+        # simple square of poses observing one landmark
+        import g2o_frontend_tpu.io.g2o as g2o_io
+
+        poses_gt = np.array([[0, 0, 0], [1, 0, 0], [1, 1, np.pi / 2]], float)
+        lm_gt = np.array([[0.5, 0.5]])
+
+        def obs(p, l):
+            c, s = np.cos(p[2]), np.sin(p[2])
+            d = l - p[:2]
+            return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1]])
+
+        pl_ij = [[0, 100], [1, 100], [2, 100]]
+        pl_z = [obs(poses_gt[i], lm_gt[0]) for i in range(3)]
+        pp_ij = [[0, 1], [1, 2]]
+
+        def rel(a, b):
+            c, s = np.cos(a[2]), np.sin(a[2])
+            d = b[:2] - a[:2]
+            return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1], b[2] - a[2]])
+
+        pp_z = [rel(poses_gt[0], poses_gt[1]), rel(poses_gt[1], poses_gt[2])]
+
+        init = poses_gt + rng.normal(0, 0.1, poses_gt.shape)
+        init[0] = poses_gt[0]
+        log = g2o_io.G2OLog(
+            se2_ids=np.arange(3),
+            se2_poses=init,
+            xy_ids=np.array([100]),
+            xy_points=lm_gt + rng.normal(0, 0.3, (1, 2)),
+            edge_se2_ij=np.asarray(pp_ij),
+            edge_se2_meas=np.asarray(pp_z),
+            edge_se2_info=np.tile(np.eye(3) * 100, (2, 1, 1)),
+            edge_se2xy_ij=np.asarray(pl_ij),
+            edge_se2xy_meas=np.asarray(pl_z),
+            edge_se2xy_info=np.tile(np.eye(2) * 100, (3, 1, 1)),
+            fixed_ids=np.array([0]),
+        )
+        g, _ = graph2d_from_log(log)
+        g_opt, stats = pg.optimize_se2(g, iters=20, cg_iters=50)
+        est_lm = np.asarray(g_opt.landmarks)[0]
+        np.testing.assert_allclose(est_lm, lm_gt[0], atol=2e-2)
+        est_p = np.asarray(g_opt.poses)[:3]
+        np.testing.assert_allclose(est_p, poses_gt, atol=5e-2)
+
+
+class TestSyntheticSE3:
+    def test_se3_chain_converges(self):
+        # ground-truth helix of 20 poses
+        n = 20
+        gt_T = []
+        T = np.eye(4)
+        for i in range(n):
+            gt_T.append(T.copy())
+            d = np.array([1.0, 0.0, 0.1, 0.0, 0.0, 0.3], np.float32)
+            T = T @ np.asarray(lie.se3_exp(jnp.asarray(d)))
+        meas = []
+        ij = []
+        for i in range(n - 1):
+            Z = np.linalg.inv(gt_T[i]) @ gt_T[i + 1]
+            xi = np.array(lie.se3_log(jnp.asarray(Z, jnp.float32)))
+            xi = xi + rng.normal(0, 0.01, 6)
+            Zn = np.asarray(lie.se3_exp(jnp.asarray(xi, jnp.float32)))
+            q = np.asarray(lie.mat2quat_full(jnp.asarray(Zn[:3, :3])))
+            meas.append(np.concatenate([Zn[:3, 3], q[1:], q[:1]]))
+            ij.append([i, i + 1])
+        # loop closure first-last (exact)
+        Z = np.linalg.inv(gt_T[0]) @ gt_T[-1]
+        q = np.asarray(lie.mat2quat_full(jnp.asarray(Z[:3, :3], jnp.float32)))
+        meas.append(np.concatenate([Z[:3, 3], q[1:], q[:1]]))
+        ij.append([0, n - 1])
+
+        # init: integrate noisy odometry
+        init = np.zeros((n, 7))
+        init[:, 6] = 1.0
+        T = gt_T[0]
+        for i in range(n):
+            q = np.asarray(lie.mat2quat_full(jnp.asarray(T[:3, :3], jnp.float32)))
+            init[i] = np.concatenate([T[:3, 3], q[1:], q[:1]])
+            if i < n - 1:
+                z = meas[i]
+                Zm = np.eye(4)
+                Zm[:3, :3] = np.asarray(
+                    lie.quat2mat(jnp.asarray(z[3:6], jnp.float32))
+                )
+                Zm[:3, 3] = z[:3]
+                T = T @ Zm
+
+        import g2o_frontend_tpu.io.g2o as g2o_io
+
+        log = g2o_io.G2OLog(
+            se3_ids=np.arange(n),
+            se3_poses=init,
+            edge_se3_ij=np.asarray(ij),
+            edge_se3_meas=np.asarray(meas),
+            edge_se3_info=np.tile(np.eye(6) * 100, (n, 1, 1)),
+            fixed_ids=np.array([0]),
+        )
+        g, _ = graph3d_from_log(log)
+        chi2_0 = float(pg.chi2_se3(g))
+        g_opt, stats = pg.optimize_se3(g, iters=15, cg_iters=100)
+        assert float(stats.chi2[-1]) < chi2_0 * 0.05, (chi2_0, stats.chi2)
+
+
+@pytest.mark.skipif(not os.path.isdir(DATA), reason="reference datasets missing")
+class TestBundledDatasets:
+    def test_graphse2(self):
+        log = read_g2o(os.path.join(DATA, "graphSE2.g2o"))
+        assert len(log.se2_ids) == 452
+        assert len(log.laser_scans) == 452
+        g, _ = graph2d_from_log(log)
+        chi2_0 = float(pg.chi2_se2(g))
+        g_opt, stats = pg.optimize_se2(g, iters=10, cg_iters=100)
+        assert float(stats.chi2[-1]) <= chi2_0
+
+    def test_world2000(self):
+        log = read_g2o(os.path.join(DATA, "world-2000-full.g2o.gz"))
+        g, _ = graph2d_from_log(log)
+        chi2_0 = float(pg.chi2_se2(g))
+        g_opt, stats = pg.optimize_se2(g, iters=15, cg_iters=150)
+        chi2_end = float(stats.chi2[-1])
+        assert chi2_end < chi2_0
+        # With 3812 pose-landmark constraints the optimum is well below init.
+        assert chi2_end < 0.7 * chi2_0, (chi2_0, chi2_end)
