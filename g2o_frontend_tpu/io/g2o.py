@@ -235,10 +235,10 @@ def write_g2o(path, log: G2OLog) -> None:
     """Write poses/landmarks/edges back out (data records are not re-emitted)."""
     buf = _io.StringIO()
     for i, vid in enumerate(log.se2_ids):
-        p = log.se2_poses[i]
+        p = [float(v) for v in log.se2_poses[i]]
         buf.write(f"VERTEX_SE2 {int(vid)} {p[0]!r} {p[1]!r} {p[2]!r}\n")
     for i, vid in enumerate(log.xy_ids):
-        p = log.xy_points[i]
+        p = [float(v) for v in log.xy_points[i]]
         buf.write(f"VERTEX_XY {int(vid)} {p[0]!r} {p[1]!r}\n")
     for i, vid in enumerate(log.se3_ids):
         p = log.se3_poses[i]
@@ -249,14 +249,14 @@ def write_g2o(path, log: G2OLog) -> None:
         buf.write(f"FIX {int(vid)}\n")
     for k in range(len(log.edge_se2_ij)):
         i, j = log.edge_se2_ij[k]
-        z = log.edge_se2_meas[k]
+        z = [float(v) for v in log.edge_se2_meas[k]]
         buf.write(
             f"EDGE_SE2 {int(i)} {int(j)} {z[0]!r} {z[1]!r} {z[2]!r} "
             f"{_upper(log.edge_se2_info[k])}\n"
         )
     for k in range(len(log.edge_se2xy_ij)):
         i, j = log.edge_se2xy_ij[k]
-        z = log.edge_se2xy_meas[k]
+        z = [float(v) for v in log.edge_se2xy_meas[k]]
         buf.write(
             f"EDGE_SE2_XY {int(i)} {int(j)} {z[0]!r} {z[1]!r} "
             f"{_upper(log.edge_se2xy_info[k])}\n"

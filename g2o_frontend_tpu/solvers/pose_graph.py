@@ -204,14 +204,16 @@ def _diag_blocks_se2(g: PoseGraph2D, lin: Linearization):
     return Dp, Dl
 
 
-def _hvp_se2(g: PoseGraph2D, lin: Linearization, free_p, free_l, lm_lambda, Dp, Dl):
-    """Returns the damped, gauge-projected Hessian-vector product closure."""
+def _hvp_edges_se2(g: PoseGraph2D, lin: Linearization):
+    """Pure per-edge Gauss-Newton Hv contribution: sum_e J^T W J v.
+
+    No damping, no gauge handling — so the distributed solver can `psum`
+    exactly this term across edge shards (parallel/sharded_pose_graph.py).
+    """
     NP, NL = g.poses.shape[0], g.landmarks.shape[0]
 
     def hvp(v):
         vp, vl = v
-        vp = vp * free_p[:, None]
-        vl = vl * free_l[:, None]
         # pose-pose edges
         vi = vp[g.pp_ij[:, 0]]
         vj = vp[g.pp_ij[:, 1]]
@@ -239,12 +241,33 @@ def _hvp_se2(g: PoseGraph2D, lin: Linearization, free_p, free_l, lm_lambda, Dp, 
             hl = jax.ops.segment_sum(
                 jnp.einsum("kdi,kd->ki", lin.Jl_pl, WJv2), g.pl_ij[:, 1], NL
             )
+        return (hp, hl)
+
+    return hvp
+
+
+def _hvp_se2(g: PoseGraph2D, lin: Linearization, free_p, free_l, lm_lambda, Dp, Dl):
+    """Damped, gauge-projected Hessian-vector product closure.
+
+    Composes the pure edge term with LM damping on the diagonal blocks and an
+    identity action on fixed/invalid DOFs (gauge projection).
+    """
+    edge_hvp = _hvp_edges_se2(g, lin)
+    return _compose_hvp(edge_hvp, free_p, free_l, lm_lambda, Dp, Dl)
+
+
+def _compose_hvp(edge_hvp, free_p, free_l, lm_lambda, Dp, Dl):
+    def hvp(v):
+        vp, vl = v
+        vp = vp * free_p[:, None]
+        vl = vl * free_l[:, None]
+        hp, hl = edge_hvp((vp, vl))
         # LM damping on the diagonal blocks
         hp = hp + lm_lambda * jnp.einsum("kij,kj->ki", Dp, vp)
         hl = hl + lm_lambda * jnp.einsum("kij,kj->ki", Dl, vl)
         # gauge projection: fixed/invalid DOFs behave as identity
-        hp = hp * free_p[:, None] + (1.0 - free_p)[:, None] * vp
-        hl = hl * free_l[:, None] + (1.0 - free_l)[:, None] * vl
+        hp = hp * free_p[:, None] + (1.0 - free_p)[:, None] * v[0]
+        hl = hl * free_l[:, None] + (1.0 - free_l)[:, None] * v[1]
         return (hp, hl)
 
     return hvp
