@@ -1,0 +1,284 @@
+"""PWN dense point-with-normal alignment — the flagship compute path.
+
+TPU-native re-design of ``pwn_core/aligner.cpp`` + ``pwn_cuda/cudaaligner.cu``:
+the reference's OpenMP/CUDA loop (project reference -> per-pixel gated
+correspondences -> accumulate 6x6 H and 6-vector b -> damped solve) becomes
+one jitted XLA program per outer iteration:
+
+- reference re-projection with the deterministic two-pass z-buffer
+  (projector.project), replacing the serial depth race
+  (``pinholepointprojector.cpp:52-65``) and the CUDA atomic-free kernel
+  (``cudaaligner.cu:476-557``),
+- per-pixel correspondence gates exactly as ``correspondencefinder.cpp:20-118``
+  (both normals nonzero, angular dot >= threshold, squared distance, clamped
+  curvature ratio) evaluated as one fused mask — no compaction,
+- per-pixel 4D point+normal error with the reference's robust clamp
+  (chi2 > inlierMaxChi2 -> scale b by sqrt(maxChi2/chi2), H unscaled —
+  preserving the reference's asymmetric robustification,
+  ``linearizer.cpp:67-89``),
+- H/b reduction is a masked sum over the image (the Pallas analog of the
+  shared-memory tree reduction in ``Aligner_coolIterationKernel``,
+  ``cudaaligner.cu:361-406``; XLA emits the same tiled reduction),
+- damped 6x6 solve ``dx = -(H + I + 1000 I)^-1 b`` and chart update
+  ``invT <- v2t(dx) * invT`` (``aligner.cpp:88-116``),
+- solution statistics: re-linearize at the optimum, unscented remap of the
+  local covariance through T, information matrix + translational/rotational
+  eigenratio validity gates (``aligner.cpp:128-199``).
+
+The local perturbation chart is the reference's quaternion chart
+(``bm_se3.h``): J = [I | -2 skew(p)] for points, [0 | -2 skew(n)] for
+normals — the factor 2 is the d(quat2mat)/dq at identity.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import lie
+from .cloud import Cloud
+from .projector import PinholeProjector
+
+
+@dataclass(frozen=True)
+class AlignerConfig:
+    """Defaults = reference constructor values (``aligner.cpp:14-37``,
+    ``correspondencefinder.cpp:9-18``, ``linearizer.cpp:9-15``)."""
+
+    outer_iterations: int = 10
+    inner_iterations: int = 1
+    # correspondence gates
+    inlier_distance_threshold: float = 0.5
+    inlier_normal_angular_threshold: float = 0.866025  # cos(pi/6)
+    flat_curvature_threshold: float = 0.02
+    inlier_curvature_ratio_threshold: float = 1.3
+    # robust kernel
+    inlier_max_chi2: float = 9e3
+    robust_kernel: bool = True
+    # damping (reference adds I + 1000 I to H, aligner.cpp:92-94)
+    damping: float = 1001.0
+    # validity gates (aligner.cpp:29-30)
+    translational_min_eigen_ratio: float = 50.0
+    rotational_min_eigen_ratio: float = 50.0
+    min_inliers: int = 100
+
+
+class AlignResult(NamedTuple):
+    T: jnp.ndarray  # (4, 4) current -> reference transform (reference `_T`)
+    mean: jnp.ndarray  # (6,) t2v mean of the solution distribution
+    omega: jnp.ndarray  # (6, 6) information of T in the t2v chart
+    inliers: jnp.ndarray  # () int
+    chi2: jnp.ndarray  # () robust error at optimum
+    translational_ratio: jnp.ndarray  # () eigenratio validity stats
+    rotational_ratio: jnp.ndarray
+    valid: jnp.ndarray  # () bool (eigenratio + min-inlier gates)
+
+
+def _correspondences(ref: Cloud, cur: Cloud, invT, projector: PinholeProjector, cfg):
+    """Per-pixel correspondence fields aligned with the current image.
+
+    Projects the reference cloud (mapped by invT into the current frame) with
+    the z-buffer, then gathers the winning reference attributes per pixel and
+    applies the four reference gates. Returns (mask, ref_pts, ref_nrm,
+    ref_curv) in the *reference frame* (ungated values arbitrary where
+    mask=False).
+    """
+    R, t = invT[:3, :3], invT[:3, 3]
+    ref_in_cur = jnp.einsum("ij,hwj->hwi", R, ref.points) + t
+    _, idx = projector.project(ref_in_cur, ref.valid)
+    hit = idx >= 0
+    idx_safe = jnp.maximum(idx, 0)
+    flat = lambda a: a.reshape((-1,) + a.shape[2:])
+    ref_pts = flat(ref.points)[idx_safe]
+    ref_nrm = flat(ref.normals)[idx_safe]
+    ref_curv = flat(ref.curvature)[idx_safe]
+
+    # gates (correspondencefinder.cpp:60-103), evaluated in the current frame
+    ref_pts_cur = jnp.einsum("ij,hwj->hwi", R, ref_pts) + t
+    ref_nrm_cur = jnp.einsum("ij,hwj->hwi", R, ref_nrm)
+    cur_has_n = jnp.sum(cur.normals * cur.normals, -1) > 0
+    ref_has_n = jnp.sum(ref_nrm * ref_nrm, -1) > 0
+    dot = jnp.sum(cur.normals * ref_nrm_cur, -1)
+    dist2 = jnp.sum((cur.points - ref_pts_cur) ** 2, -1)
+    cthr = cfg.flat_curvature_threshold
+    rc = jnp.maximum(ref_curv, cthr)
+    cc = jnp.maximum(cur.curvature, cthr)
+    ratio = (rc + 1e-5) / (cc + 1e-5)
+    mask = (
+        hit
+        & cur.valid
+        & cur_has_n
+        & ref_has_n
+        & (dot >= cfg.inlier_normal_angular_threshold)
+        & (dist2 <= cfg.inlier_distance_threshold**2)
+        & (ratio >= 1.0 / cfg.inlier_curvature_ratio_threshold)
+        & (ratio <= cfg.inlier_curvature_ratio_threshold)
+    )
+    return mask, ref_pts, ref_nrm
+
+
+def _linearize(mask, ref_pts, ref_nrm, cur: Cloud, invT, cfg):
+    """Masked H (6,6), b (6,), chi2, inliers for e = invT*ref - cur.
+
+    Mirrors ``linearizer.cpp:17-115`` including the asymmetric robust
+    scaling (kscale on b/error only).
+    """
+    R, t = invT[:3, :3], invT[:3, 3]
+    p = jnp.einsum("ij,hwj->hwi", R, ref_pts) + t  # remapped reference point
+    n = jnp.einsum("ij,hwj->hwi", R, ref_nrm)
+
+    ep = p - cur.points  # (H, W, 3)
+    en = n - cur.normals
+    wp = jnp.einsum("hwij,hwj->hwi", cur.omega_p, ep)
+    wn = jnp.einsum("hwij,hwj->hwi", cur.omega_n, en)
+    local_chi2 = jnp.sum(ep * wp, -1) + jnp.sum(en * wn, -1)
+
+    kscale = jnp.where(
+        local_chi2 > cfg.inlier_max_chi2,
+        jnp.sqrt(cfg.inlier_max_chi2 / jnp.maximum(local_chi2, 1e-12)),
+        1.0,
+    )
+    if not cfg.robust_kernel:
+        mask = mask & (local_chi2 <= cfg.inlier_max_chi2)
+        kscale = jnp.ones_like(kscale)
+    m = mask.astype(p.dtype)
+
+    # J_p = [I | -2 skew(p)]; J_n = [0 | -2 skew(n)]  (quaternion chart)
+    # Using S(v) x = -2 v × x  (the reference's skew has the -2 baked in,
+    # bm_se3.h:53-65 with transposed sign convention).
+    def S_apply(v, x):  # S(v) @ x = -2 cross(v, x)
+        return -2.0 * jnp.cross(v, x)
+
+    # b_t = sum m*kscale * wp ; b_r = sum m*kscale * (S(p)^T wp + S(n)^T wn)
+    # S^T y = +2 cross(v, y)
+    bt = jnp.sum((m * kscale)[..., None] * wp, (0, 1))
+    br_terms = 2.0 * jnp.cross(p, wp) + 2.0 * jnp.cross(n, wn)
+    br = jnp.sum((m * kscale)[..., None] * br_terms, (0, 1))
+    b = jnp.concatenate([bt, br])
+
+    # H blocks (unscaled by kscale, as in the reference):
+    # Htt = sum omega_p
+    Htt = jnp.sum(m[..., None, None] * cur.omega_p, (0, 1))
+    # Htr = sum omega_p S(p): columns = omega_p @ S e_k -> compute via basis
+    eye = jnp.eye(3, dtype=p.dtype)
+    # S(p) as explicit matrix: S[i, j] = -2 * cross(p)[i, j] => build batched
+    def skew2(v):  # (-2 * hat(v)) with hat(v) x = v × x
+        z = jnp.zeros_like(v[..., 0])
+        return -2.0 * jnp.stack(
+            [
+                jnp.stack([z, -v[..., 2], v[..., 1]], -1),
+                jnp.stack([v[..., 2], z, -v[..., 0]], -1),
+                jnp.stack([-v[..., 1], v[..., 0], z], -1),
+            ],
+            -2,
+        )
+
+    Sp = skew2(p)
+    Sn = skew2(n)
+    mw = m[..., None, None]
+    OmSp = jnp.einsum("hwij,hwjk->hwik", cur.omega_p, Sp)
+    Htr = jnp.sum(mw * OmSp, (0, 1))
+    Hrr = jnp.sum(
+        mw
+        * (
+            jnp.einsum("hwji,hwjk->hwik", Sp, OmSp)
+            + jnp.einsum(
+                "hwji,hwjk->hwik",
+                Sn,
+                jnp.einsum("hwij,hwjk->hwik", cur.omega_n, Sn),
+            )
+        ),
+        (0, 1),
+    )
+    H = jnp.zeros((6, 6), p.dtype)
+    H = H.at[:3, :3].set(Htt)
+    H = H.at[:3, 3:].set(Htr)
+    H = H.at[3:, :3].set(Htr.T)
+    H = H.at[3:, 3:].set(Hrr)
+
+    chi2 = jnp.sum(m * kscale * local_chi2)
+    inliers = jnp.sum(mask)
+    return H, b, chi2, inliers
+
+
+@partial(jax.jit, static_argnames=("projector", "config"))
+def align(
+    reference: Cloud,
+    current: Cloud,
+    projector: PinholeProjector,
+    initial_guess=None,
+    config: AlignerConfig = AlignerConfig(),
+) -> AlignResult:
+    """Estimate T (current -> reference) between two clouds.
+
+    The outer loop is a `lax.fori_loop` over `outer_iterations`; each body
+    re-projects the reference (z-buffer), recomputes gated correspondences,
+    runs `inner_iterations` Gauss-Newton updates, all on-chip.
+    """
+    cfg = config
+    dtype = reference.points.dtype
+    T0 = jnp.eye(4, dtype=dtype) if initial_guess is None else initial_guess
+
+    def outer(i, invT):
+        mask, ref_pts, ref_nrm = _correspondences(
+            reference, current, invT, projector, cfg
+        )
+
+        def inner(k, invT):
+            H, b, _, _ = _linearize(mask, ref_pts, ref_nrm, current, invT, cfg)
+            H = H + cfg.damping * jnp.eye(6, dtype=dtype)
+            dx = jnp.linalg.solve(H, -b)
+            dT = lie.se3_v2t(dx)
+            return dT @ invT
+
+        invT = jax.lax.fori_loop(0, cfg.inner_iterations, inner, invT)
+        # re-orthonormalize through the chart (aligner.cpp:117 v2t(t2v(T)))
+        return lie.se3_v2t(lie.se3_t2v(invT))
+
+    invT0 = lie.se3_inverse(T0)
+    invT = jax.lax.fori_loop(0, cfg.outer_iterations, outer, invT0)
+    T = lie.se3_inverse(invT)
+
+    # ---- statistics at the optimum (aligner.cpp:152-199) ----
+    mask, ref_pts, ref_nrm = _correspondences(reference, current, invT, projector, cfg)
+    H, b, chi2, inliers = _linearize(mask, ref_pts, ref_nrm, current, invT, cfg)
+    H = H + jnp.eye(6, dtype=dtype)
+    local_sigma = jnp.linalg.pinv(H)
+
+    # unscented remap of N(0, local_sigma) through p -> t2v(T * v2t(p)^-1)
+    dim = 6
+    alpha, beta = 1e-3, 2.0
+    lam_u = alpha * alpha * dim
+    w0 = lam_u / (dim + lam_u)
+    wi = 1.0 / (2.0 * (dim + lam_u))
+    w0_cov = w0 + (1.0 - alpha * alpha + beta)
+    L = jnp.linalg.cholesky(
+        (dim + lam_u) * local_sigma + 1e-9 * jnp.eye(6, dtype=dtype)
+    )
+    cols = L.T  # rows are scaled columns of L
+    pts = jnp.concatenate([jnp.zeros((1, 6), dtype), cols, -cols], 0)  # (13, 6)
+
+    def remap(p):
+        return lie.se3_t2v(T @ lie.se3_inverse(lie.se3_v2t(p)))
+
+    samples = jax.vmap(remap)(pts)
+    wi_vec = jnp.concatenate([jnp.array([w0], dtype), jnp.full((12,), wi, dtype)])
+    wp_vec = jnp.concatenate([jnp.array([w0_cov], dtype), jnp.full((12,), wi, dtype)])
+    mean = jnp.sum(wi_vec[:, None] * samples, 0)
+    delta = samples - mean
+    sigma = jnp.einsum("k,ki,kj->ij", wp_vec, delta, delta)
+    omega = jnp.linalg.pinv(sigma)
+
+    st = jnp.linalg.svd(omega[:3, :3], compute_uv=False)
+    sr = jnp.linalg.svd(omega[3:, 3:], compute_uv=False)
+    tr_ratio = st[0] / jnp.maximum(st[2], 1e-12)
+    rr_ratio = sr[0] / jnp.maximum(sr[2], 1e-12)
+    valid = (
+        (tr_ratio <= cfg.translational_min_eigen_ratio)
+        & (rr_ratio <= cfg.rotational_min_eigen_ratio)
+        & (inliers >= cfg.min_inliers)
+    )
+    return AlignResult(T, mean, omega, inliers, chi2, tr_ratio, rr_ratio, valid)
