@@ -1,92 +1,162 @@
 """Benchmark harness. Prints ONE JSON line with the headline metric.
 
-Run on whatever the default JAX platform is (real TPU under the driver).
-Headline metric (BASELINE.md): pose-graph LM optimizer throughput on the
-largest bundled 2D dataset — LM iterations/second where each LM iteration is
-a full relinearize + up-to-100-iteration PCG solve + accept/reject. As the
-PWN stack lands, this harness grows aligner frames/s alongside.
+Headline: PWN dense aligner frames/s at the reference's compute envelope —
+640x480 depth, 10 outer x 1 inner iterations (``pwn_core/aligner.cpp:19-20``,
+BASELINE.md "Aligner compute envelope"). Also reports the depth->cloud
+converter throughput and the pose-graph LM throughput on victoriaPark.
 
-``vs_baseline`` compares against the same workload on the host CPU backend
-(the reference's execution platform class; the reference itself publishes no
+``vs_baseline`` compares aligner frames/s against the same workload on the
+host CPU backend (the reference's platform class; the reference publishes no
 numbers — BASELINE.md).
+
+NOTE: on the tunneled axon TPU platform ``block_until_ready`` does not
+synchronize; all timings force ``np.asarray`` transfers.
 """
 import json
-import os
 import sys
 import time
 
 import numpy as np
 
 DATA = "/root/reference/datasets/2D"
-# Host-CPU control measurement for the same victoriaPark LM workload
-# (measured on this container via JAX CPU backend; see bench history).
-CPU_BASELINE_LM_ITERS_PER_S = None  # computed live unless --no-cpu-control
 
 
-def _load_graph():
-    from g2o_frontend_tpu.graph.store import graph2d_from_log
-    from g2o_frontend_tpu.io.g2o import read_g2o
+def _make_depth_pair(H=480, W=640):
+    """Synthetic room-corner depth pair with a known small motion."""
+    import jax.numpy as jnp
 
-    path = os.path.join(DATA, "victoriaPark-full.g2o.gz")
-    log = read_g2o(path)
-    g, _ = graph2d_from_log(log)
-    return g
+    from g2o_frontend_tpu.utils import lie
+
+    planes = [
+        (np.array([0.0, 0.0, -1.0]), -2.5),
+        (np.array([-1.0, 0.0, 0.0]), -1.2),
+        (np.array([0.0, -1.0, 0.0]), -0.9),
+    ]
+    fx = fy = 525.0 * (W / 640.0)
+    cx, cy = W / 2 - 0.5, H / 2 - 0.5
+
+    def render(T_wc):
+        vs, us = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        dirs = np.stack([(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, float)], -1)
+        R, t = T_wc[:3, :3], T_wc[:3, 3]
+        dirs_w = dirs @ R.T
+        depth = np.full((H, W), np.inf)
+        for n, d in planes:
+            denom = dirs_w @ n
+            z = np.where(np.abs(denom) > 1e-9, (d - t @ n) / denom, np.inf)
+            depth = np.minimum(depth, np.where(z > 0.05, z, np.inf))
+        depth[~np.isfinite(depth)] = 0.0
+        return jnp.asarray(depth, jnp.float32)
+
+    xi = np.array([0.04, -0.02, 0.05, 0.01, 0.03, -0.02], np.float32)
+    T_gt = np.asarray(lie.se3_exp(jnp.asarray(xi)))
+    from g2o_frontend_tpu.pwn.projector import PinholeProjector
+
+    proj = PinholeProjector(rows=H, cols=W, fx=fx, fy=fy, cx=cx, cy=cy,
+                            min_distance=0.1, max_distance=10.0)
+    return render(np.eye(4)), render(T_gt), proj, T_gt
+
+
+def bench_pwn_aligner(device=None, H=480, W=640, reps=5):
+    import jax
+
+    from g2o_frontend_tpu.pwn.aligner import AlignerConfig, align
+    from g2o_frontend_tpu.pwn.converter import ConverterConfig, depth_to_cloud
+
+    d_ref, d_cur, proj, T_gt = _make_depth_pair(H, W)
+    if device is not None:
+        d_ref = jax.device_put(d_ref, device)
+        d_cur = jax.device_put(d_cur, device)
+    if H >= 240:
+        ccfg = ConverterConfig()
+    else:  # reference scale-4 stats radii (conf pwn_slam_catacombs_gui.conf)
+        ccfg = ConverterConfig(min_image_radius=3, max_image_radius=8, min_points=12)
+    acfg = AlignerConfig(outer_iterations=10, inner_iterations=1)
+
+    ref = depth_to_cloud(d_ref, proj, ccfg)
+    cur = depth_to_cloud(d_cur, proj, ccfg)
+    res = align(ref, cur, proj, config=acfg)
+    np.asarray(res.T)  # sync after compile
+
+    def pipelined(f, n):
+        """Queue n async calls, sync once — hides the tunnel's ~40 ms
+        per-call dispatch latency, matching steady-state pipelining."""
+        f()
+        t0 = time.perf_counter()
+        outs = [f() for _ in range(n)]
+        np.asarray(jax.tree_util.tree_leaves(outs[-1])[0])
+        return (time.perf_counter() - t0) / n
+
+    dt_conv = pipelined(lambda: depth_to_cloud(d_cur, proj, ccfg), reps)
+    dt_align = pipelined(lambda: align(ref, cur, proj, config=acfg), reps)
+    res = align(ref, cur, proj, config=acfg)
+
+    T_est = np.asarray(res.T)
+    err = np.linalg.inv(T_gt) @ T_est
+    t_err = float(np.linalg.norm(err[:3, 3]))
+    return {
+        "align_fps": 1.0 / dt_align,
+        "convert_fps": 1.0 / dt_conv,
+        "t_err_m": t_err,
+        "inliers": int(res.inliers),
+    }
 
 
 def bench_pose_graph(device=None):
+    import os
+
     import jax
 
+    from g2o_frontend_tpu.graph.store import graph2d_from_log
+    from g2o_frontend_tpu.io.g2o import read_g2o
     from g2o_frontend_tpu.solvers.pose_graph import optimize_se2
 
-    g = _load_graph()
+    log = read_g2o(os.path.join(DATA, "victoriaPark-full.g2o.gz"))
+    g, _ = graph2d_from_log(log)
     if device is not None:
         g = jax.device_put(g, device)
     ITERS = 10
 
     def run():
         g_out, stats = optimize_se2(g, iters=ITERS, cg_iters=100)
-        # np.asarray forces device->host sync (block_until_ready is not
-        # reliable on the tunneled axon platform)
         return np.asarray(g_out.poses), stats
 
-    run()  # warmup/compile
+    run()
     t0 = time.perf_counter()
-    n_rep = 3
-    for _ in range(n_rep):
+    for _ in range(3):
         poses, stats = run()
-    dt = (time.perf_counter() - t0) / n_rep
-    chi2 = np.asarray(stats.chi2)
-    return {
-        "lm_iters_per_s": ITERS / dt,
-        "wall_s_per_opt": dt,
-        "chi2_first": float(chi2[0]),
-        "chi2_last": float(chi2[-1]),
-    }
+    dt = (time.perf_counter() - t0) / 3
+    return {"lm_iters_per_s": ITERS / dt}
 
 
 def main():
     import jax
 
     plat = jax.devices()[0].platform
-    res = bench_pose_graph()
+    pwn = bench_pwn_aligner()
+    pwn4 = bench_pwn_aligner(H=120, W=160, reps=10)  # ref tracker scale=4
+    pgo = bench_pose_graph()
 
     vs = 1.0
     if "--no-cpu-control" not in sys.argv:
         try:
             cpu_dev = jax.local_devices(backend="cpu")[0]
-            cpu = bench_pose_graph(device=cpu_dev)
-            vs = res["lm_iters_per_s"] / cpu["lm_iters_per_s"]
+            pwn_cpu = bench_pwn_aligner(device=cpu_dev, reps=2)
+            vs = pwn["align_fps"] / pwn_cpu["align_fps"]
         except Exception:
             vs = 1.0
 
     out = {
-        "metric": "pose_graph_lm_iters_per_s_victoriaPark",
-        "value": round(res["lm_iters_per_s"], 3),
-        "unit": "LM iters/s (6969 poses, 6968 edges, 100 CG/iter)",
+        "metric": "pwn_align_fps_640x480_10outer",
+        "value": round(pwn["align_fps"], 3),
+        "unit": "aligner frames/s (640x480, 10 outer x 1 inner, ref envelope)",
         "vs_baseline": round(vs, 3),
         "platform": plat,
-        "chi2_first": res["chi2_first"],
-        "chi2_last": res["chi2_last"],
+        "align_fps_scale4": round(pwn4["align_fps"], 3),
+        "convert_fps": round(pwn["convert_fps"], 3),
+        "align_t_err_m": round(pwn["t_err_m"], 5),
+        "align_inliers": pwn["inliers"],
+        "pose_graph_lm_iters_per_s": round(pgo["lm_iters_per_s"], 3),
     }
     print(json.dumps(out))
 

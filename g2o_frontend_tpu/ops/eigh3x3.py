@@ -70,12 +70,11 @@ def _eigenvector_for(A, lam, fallback):
     n01 = jnp.sum(c01 * c01, axis=-1)
     n02 = jnp.sum(c02 * c02, axis=-1)
     n12 = jnp.sum(c12 * c12, axis=-1)
-    cands = jnp.stack([c01, c02, c12], axis=-2)  # (..., 3 cands, 3)
-    norms = jnp.stack([n01, n02, n12], axis=-1)  # (..., 3)
-    best = jnp.argmax(norms, axis=-1)
-    v = jnp.take_along_axis(cands, best[..., None, None].repeat(3, -1), axis=-2)[
-        ..., 0, :
-    ]
+    # branchless 3-way max select (no gather: take_along_axis serializes on
+    # TPU; two where-selects stay on the VPU)
+    v = jnp.where((n01 >= n02)[..., None], c01, c02)
+    nbest = jnp.maximum(n01, n02)
+    v = jnp.where((n12 > nbest)[..., None], c12, v)
     nrm = jnp.linalg.norm(v, axis=-1, keepdims=True)
     ok = nrm[..., 0] > 1e-10
     v = jnp.where(ok[..., None], v / jnp.maximum(nrm, _EPS), fallback)

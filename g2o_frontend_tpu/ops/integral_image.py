@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["integral_image", "window_sums", "window_moments"]
+__all__ = ["integral_image", "window_sums", "window_sums_fixed", "window_sums_quantized", "window_moments"]
 
 
 def integral_image(x):
@@ -59,7 +59,43 @@ def window_sums(I, radii):
     return a - b - c + d
 
 
-def window_moments(points, valid, radii):
+def window_sums_fixed(I, r: int):
+    """Window sums for a single static radius via shifted slices (no gather).
+
+    Clamped-window semantics identical to `window_sums` but expressed as four
+    statically-shifted slices of an edge-padded table — pure VPU adds, the
+    fast path on TPU where arbitrary gathers serialize.
+    """
+    H, W = I.shape[0] - 1, I.shape[1] - 1
+    pad = [(r, r), (r, r)] + [(0, 0)] * (I.ndim - 2)
+    Ip = jnp.pad(I, pad, mode="edge")
+    s = 2 * r + 1
+    c1 = Ip[s : s + H, s : s + W]
+    c2 = Ip[0:H, s : s + W]
+    c3 = Ip[s : s + H, 0:W]
+    c4 = Ip[0:H, 0:W]
+    return c1 - c2 - c3 + c4
+
+
+def window_sums_quantized(I, radii, levels):
+    """Per-pixel window sums with radii quantized to static `levels`.
+
+    Each pixel uses the smallest level >= its requested radius (largest level
+    if none). Replaces the per-pixel-exact gather path with
+    len(levels) shifted-slice passes + a select — the TPU-friendly tradeoff
+    (the reference's radius is itself a clamped heuristic,
+    ``statscalculatorintegralimage.cpp:45-49``).
+    """
+    levels = tuple(sorted(int(l) for l in levels))
+    stack = [window_sums_fixed(I, r) for r in levels]
+    r = jnp.asarray(radii)
+    out = stack[-1]
+    for lev, S in zip(levels[-2::-1], stack[-2::-1]):
+        out = jnp.where((r <= lev)[..., None], S, out)
+    return out
+
+
+def window_moments(points, valid, radii, levels=None):
     """Local first/second moments of valid 3D points in a window.
 
     Args:
@@ -87,7 +123,10 @@ def window_moments(points, valid, radii):
     )
     acc = jnp.concatenate([v[..., None], p, outer], axis=-1)  # (H, W, 10)
     I = integral_image(acc)
-    S = window_sums(I, radii)
+    if levels is not None:
+        S = window_sums_quantized(I, radii, levels)
+    else:
+        S = window_sums(I, radii)
     n = S[..., 0]
     n_safe = jnp.maximum(n, 1.0)
     mean = S[..., 1:4] / n_safe[..., None]

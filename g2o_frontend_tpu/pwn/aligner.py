@@ -64,6 +64,9 @@ class AlignerConfig:
     translational_min_eigen_ratio: float = 50.0
     rotational_min_eigen_ratio: float = 50.0
     min_inliers: int = 100
+    # association strategy: "gather" (TPU-fast, cur->ref projective lookup)
+    # or "zbuffer" (reference-parity ref re-render)
+    association: str = "gather"
 
 
 class AlignResult(NamedTuple):
@@ -75,6 +78,74 @@ class AlignResult(NamedTuple):
     translational_ratio: jnp.ndarray  # () eigenratio validity stats
     rotational_ratio: jnp.ndarray
     valid: jnp.ndarray  # () bool (eigenratio + min-inlier gates)
+
+
+def _correspondences_gather(ref: Cloud, cur: Cloud, invT, projector, cfg):
+    """Gather-based projective association (the TPU-fast default).
+
+    For every *current* pixel: map its point into the reference frame
+    (T = invT^-1), project into the reference image, and fetch the reference
+    point/normal/curvature stored at that pixel — one packed 2D gather, no
+    scatter. This is the KinectFusion-style inversion of the reference's
+    render-the-reference z-buffer association
+    (``correspondencefinder.cpp:20-118``): behaviorally equivalent under the
+    same gates (the distance gate subsumes occlusion rejection), but maps to
+    a single vectorized gather instead of two scatters + gather.
+    """
+    Rinv = invT[:3, :3].T
+    tinv = -Rinv @ invT[:3, 3]
+    cur_in_ref = jnp.einsum("ij,hwj->hwi", Rinv, cur.points) + tinv
+    u, v, d = projector.pixel_of(cur_in_ref)
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    H, W = projector.rows, projector.cols
+    inside = (
+        cur.valid
+        & (d > projector.min_distance)
+        & (d < projector.max_distance)
+        & (ui >= 0)
+        & (ui < W)
+        & (vi >= 0)
+        & (vi < H)
+    )
+    ui = jnp.clip(ui, 0, W - 1)
+    vi = jnp.clip(vi, 0, H - 1)
+    # one packed gather: [points(3), normals(3), curvature, valid]
+    packed = jnp.concatenate(
+        [
+            ref.points,
+            ref.normals,
+            ref.curvature[..., None],
+            ref.valid[..., None].astype(ref.points.dtype),
+        ],
+        axis=-1,
+    )
+    got = packed[vi, ui]
+    ref_pts, ref_nrm = got[..., 0:3], got[..., 3:6]
+    ref_curv, ref_ok = got[..., 6], got[..., 7] > 0
+
+    R, t = invT[:3, :3], invT[:3, 3]
+    ref_pts_cur = jnp.einsum("ij,hwj->hwi", R, ref_pts) + t
+    ref_nrm_cur = jnp.einsum("ij,hwj->hwi", R, ref_nrm)
+    cur_has_n = jnp.sum(cur.normals * cur.normals, -1) > 0
+    ref_has_n = jnp.sum(ref_nrm * ref_nrm, -1) > 0
+    dot = jnp.sum(cur.normals * ref_nrm_cur, -1)
+    dist2 = jnp.sum((cur.points - ref_pts_cur) ** 2, -1)
+    cthr = cfg.flat_curvature_threshold
+    rc = jnp.maximum(ref_curv, cthr)
+    cc = jnp.maximum(cur.curvature, cthr)
+    ratio = (rc + 1e-5) / (cc + 1e-5)
+    mask = (
+        inside
+        & ref_ok
+        & cur_has_n
+        & ref_has_n
+        & (dot >= cfg.inlier_normal_angular_threshold)
+        & (dist2 <= cfg.inlier_distance_threshold**2)
+        & (ratio >= 1.0 / cfg.inlier_curvature_ratio_threshold)
+        & (ratio <= cfg.inlier_curvature_ratio_threshold)
+    )
+    return mask, ref_pts, ref_nrm
 
 
 def _correspondences(ref: Cloud, cur: Cloud, invT, projector: PinholeProjector, cfg):
@@ -222,10 +293,12 @@ def align(
     dtype = reference.points.dtype
     T0 = jnp.eye(4, dtype=dtype) if initial_guess is None else initial_guess
 
+    assoc = (
+        _correspondences_gather if cfg.association == "gather" else _correspondences
+    )
+
     def outer(i, invT):
-        mask, ref_pts, ref_nrm = _correspondences(
-            reference, current, invT, projector, cfg
-        )
+        mask, ref_pts, ref_nrm = assoc(reference, current, invT, projector, cfg)
 
         def inner(k, invT):
             H, b, _, _ = _linearize(mask, ref_pts, ref_nrm, current, invT, cfg)
@@ -243,7 +316,7 @@ def align(
     T = lie.se3_inverse(invT)
 
     # ---- statistics at the optimum (aligner.cpp:152-199) ----
-    mask, ref_pts, ref_nrm = _correspondences(reference, current, invT, projector, cfg)
+    mask, ref_pts, ref_nrm = assoc(reference, current, invT, projector, cfg)
     H, b, chi2, inliers = _linearize(mask, ref_pts, ref_nrm, current, invT, cfg)
     H = H + jnp.eye(6, dtype=dtype)
     local_sigma = jnp.linalg.pinv(H)

@@ -43,6 +43,10 @@ class ConverterConfig:
     max_image_radius: int = 30
     min_points: int = 50
     curvature_threshold: float = 0.02
+    # Number of static window-radius levels (geometric between min/max image
+    # radius). Per-pixel-exact radii need arbitrary gathers that serialize on
+    # TPU; a few shifted-slice passes + select run at VPU speed. 0 = exact.
+    n_radius_levels: int = 4
     # point information (tangent-frame diagonal): strong along normal
     point_flat_info: tuple = (1000.0, 1.0, 1.0)
     # normal information diagonals
@@ -64,7 +68,19 @@ def depth_to_cloud(
     radii = projector.project_intervals(depth, cfg.world_radius)
     radii = jnp.clip(radii, cfg.min_image_radius, cfg.max_image_radius)
 
-    n, mean, cov = window_moments(points, valid, radii)
+    levels = None
+    if cfg.n_radius_levels > 0:
+        lo, hi = cfg.min_image_radius, cfg.max_image_radius
+        n_lev = min(cfg.n_radius_levels, hi - lo + 1)
+        levels = tuple(
+            sorted(
+                {
+                    int(round(lo * (hi / lo) ** (k / max(n_lev - 1, 1))))
+                    for k in range(n_lev)
+                }
+            )
+        )
+    n, mean, cov = window_moments(points, valid, radii, levels=levels)
     enough = valid & (n >= cfg.min_points)
 
     lam, V = eigh3x3(cov)
