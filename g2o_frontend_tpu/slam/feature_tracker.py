@@ -1,0 +1,461 @@
+"""2D landmark SLAM with unknown data association — the `slam/` equivalent.
+
+Re-design of the reference feature-tracker stack
+(``slam/feature_tracker.h:326-430``: MapperState / Tracker /
+CorrespondenceFinder + RANSAC matcher; driver ``slam/tracker_test.cpp:155``)
+for the TPU execution model:
+
+- the *map* is the flat-array `PoseGraph2D` (poses, XY landmarks,
+  odometry + observation edges, masks) growing by capacity doubling,
+- per-frame *data association* is one batched kernel: an (O, L) distance
+  matrix between world-predicted observations and landmark estimates, gated
+  mutual-nearest-neighbor assignment, then vectorized RANSAC
+  (`ransac.engine` with the Horn2D solver) to reject wrong matches and
+  correct the predicted pose — replacing `PointXYInitialGuessCorrespondence
+  Finder` + `PointXYRansacMatcher` (``feature_tracker_pointxy.h:13-133``),
+- landmark lifecycle follows `MapperState::updateTracksAndLandmarks`
+  (``feature_tracker.h:340-393``): unmatched observations become pending
+  tracks; a track seen `min_landmark_creation_frames` times is promoted to a
+  landmark with its accumulated observation edges,
+- periodic local optimization freezes poses outside the sliding window
+  (`localMapSize`/`optimizeEachN` of ``tracker_test.cpp:185-214``), global
+  optimization at the end; both are the jitted LM-PCG solver,
+- loop closing (`LoopClosureManager`, ``feature_tracker_closure.h:170``):
+  when the pose re-enters a previously mapped region, current-window
+  landmarks are RANSAC-matched against older landmarks and accepted matches
+  merge landmark pairs (edge re-targeting + mask-out, the
+  `LandmarkCorrespondenceManager` merge).
+
+Host Python orchestrates (like the reference's main loop); every numerical
+step is a fixed-shape jitted kernel.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ransac import solvers as rsolvers
+from ..ransac.engine import ransac
+from ..utils import lie
+
+# ---------------------------------------------------------------------------
+# jitted kernels
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=())
+def _associate_nn(obs_world, obs_mask, lms, lm_mask, gate):
+    """Gated mutual-NN assignment between observations and landmarks.
+
+    Returns (match_idx (O,) int32 landmark index or -1, dists (O,)).
+    """
+    d2 = jnp.sum((obs_world[:, None, :] - lms[None, :, :]) ** 2, -1)
+    big = jnp.asarray(1e12, d2.dtype)
+    d2 = jnp.where(obs_mask[:, None] & lm_mask[None, :], d2, big)
+    nn_of_obs = jnp.argmin(d2, axis=1)  # (O,)
+    nn_of_lm = jnp.argmin(d2, axis=0)  # (L,)
+    best = d2[jnp.arange(d2.shape[0]), nn_of_obs]
+    mutual = nn_of_lm[nn_of_obs] == jnp.arange(d2.shape[0])
+    ok = mutual & (best < gate * gate) & obs_mask
+    return jnp.where(ok, nn_of_obs, -1), best
+
+
+def _ransac_verify(key, obs_local, lm_world, pairs_mask, pose_guess, thresh):
+    """RANSAC over tentative pairs: returns corrected pose + inlier mask.
+
+    Solves for the robot pose x s.t. lm_world ~ x ⊕ obs_local.
+    """
+    res = ransac(
+        key,
+        lm_world,
+        obs_local,
+        pairs_mask,
+        fit_fn=rsolvers.fit_se2_points,
+        err_fn=rsolvers.err_se2_points,
+        minimal_size=2,
+        inlier_threshold=thresh * thresh,
+        n_hypotheses=128,
+        min_inliers=2,
+    )
+    return res
+
+
+# ---------------------------------------------------------------------------
+# tracker
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Tracker2DConfig:
+    """Parameter names mirror the ``tracker_test.cpp:185-214`` flags."""
+
+    min_landmark_creation_frames: int = 2
+    incremental_ransac_inlier_threshold: float = 0.5
+    incremental_guess_max_feature_distance: float = 1.0
+    loop_ransac_inlier_threshold: float = 0.2
+    loop_guess_max_feature_distance: float = 2.0
+    loop_landmark_merge_distance: float = 0.5
+    local_map_size: int = 10
+    optimize_each_n: int = 10
+    local_optimize_iters: int = 3
+    global_optimize_iters: int = 15
+    cg_iters: int = 60
+    odom_info: tuple = (100.0, 100.0, 1000.0)
+    obs_default_info: float = 300.0
+    seed: int = 0
+
+
+class FeatureTracker2D:
+    """Incremental 2D landmark SLAM over a growing flat-array graph."""
+
+    def __init__(self, config: Tracker2DConfig = Tracker2DConfig()):
+        self.cfg = config
+        self.key = jax.random.PRNGKey(config.seed)
+        # growing host-side arrays (device kernels see padded snapshots)
+        self.poses: list[np.ndarray] = []  # [x, y, th]
+        self.landmarks = np.zeros((0, 2), np.float32)
+        self.lm_alive = np.zeros(0, bool)
+        self.lm_seen = np.zeros(0, np.int32)
+        self.odom_edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
+        self.obs_edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
+        # pending tracks: pos (world), count, history [(pose_idx, local_xy, info)]
+        self.pending: list[dict] = []
+        self.frame = 0
+
+    # -- graph snapshot -----------------------------------------------------
+    def graph(self, window_fix_before: int | None = None):
+        """Build a PoseGraph2D snapshot (optionally freezing old poses)."""
+        from ..graph.store import PoseGraph2D, _cap
+
+        n = len(self.poses)
+        nl = len(self.landmarks)
+        ep = len(self.odom_edges)
+        el = len(self.obs_edges)
+        NP, NL = _cap(max(n, 1)), _cap(max(nl, 1))
+        EP, EL = _cap(max(ep, 1)), _cap(max(el, 1))
+
+        poses = np.zeros((NP, 3), np.float32)
+        if n:
+            poses[:n] = np.asarray(self.poses)
+        lms = np.zeros((NL, 2), np.float32)
+        if nl:
+            lms[:nl] = self.landmarks
+        pp_ij = np.zeros((EP, 2), np.int32)
+        pp_z = np.zeros((EP, 3), np.float32)
+        pp_w = np.zeros((EP, 3, 3), np.float32)
+        for k, (i, j, z, w) in enumerate(self.odom_edges):
+            pp_ij[k] = (i, j)
+            pp_z[k] = z
+            pp_w[k] = w
+        pl_ij = np.zeros((EL, 2), np.int32)
+        pl_z = np.zeros((EL, 2), np.float32)
+        pl_w = np.zeros((EL, 2, 2), np.float32)
+        for k, (i, l, z, w) in enumerate(self.obs_edges):
+            pl_ij[k] = (i, l)
+            pl_z[k] = z
+            pl_w[k] = w
+        fixed = np.zeros(NP, bool)
+        fixed[0] = True
+        if window_fix_before is not None:
+            fixed[: min(window_fix_before, n)] = True
+        lm_mask = np.zeros(NL, bool)
+        lm_mask[:nl] = self.lm_alive
+        return PoseGraph2D(
+            poses=jnp.asarray(poses),
+            pose_mask=jnp.asarray(np.arange(NP) < n),
+            landmarks=jnp.asarray(lms),
+            landmark_mask=jnp.asarray(lm_mask),
+            pp_ij=jnp.asarray(pp_ij),
+            pp_meas=jnp.asarray(pp_z),
+            pp_info=jnp.asarray(pp_w),
+            pp_mask=jnp.asarray(np.arange(EP) < ep),
+            pl_ij=jnp.asarray(pl_ij),
+            pl_meas=jnp.asarray(pl_z),
+            pl_info=jnp.asarray(pl_w),
+            pl_mask=jnp.asarray(np.arange(EL) < el),
+            fixed=jnp.asarray(fixed),
+        )
+
+    def _sync_from_graph(self, g):
+        n = len(self.poses)
+        nl = len(self.landmarks)
+        poses = np.asarray(g.poses)[:n]
+        for i in range(n):
+            self.poses[i] = poses[i]
+        if nl:
+            self.landmarks = np.array(np.asarray(g.landmarks)[:nl])
+
+    # -- main entry ---------------------------------------------------------
+    def process_frame(self, odom_delta, obs_local, obs_info=None):
+        """Ingest one frame.
+
+        Args:
+          odom_delta: (3,) relative odometry from the previous pose
+            (ignored for the first frame; pass zeros).
+          obs_local: (O, 2) feature observations in the robot frame.
+          obs_info: optional (O, 2, 2) information matrices.
+        """
+        cfg = self.cfg
+        obs_local = np.asarray(obs_local, np.float32).reshape(-1, 2)
+        O = len(obs_local)
+        if obs_info is None:
+            obs_info = np.tile(
+                np.eye(2, dtype=np.float32) * cfg.obs_default_info, (O, 1, 1)
+            )
+
+        # 1. pose prediction
+        if not self.poses:
+            pose = np.zeros(3, np.float32)
+            self.poses.append(pose)
+        else:
+            prev = self.poses[-1]
+            pose = np.asarray(
+                lie.se2_compose(jnp.asarray(prev), jnp.asarray(odom_delta, np.float32))
+            )
+            self.poses.append(pose)
+            info = np.diag(np.asarray(cfg.odom_info, np.float32))
+            self.odom_edges.append(
+                (len(self.poses) - 2, len(self.poses) - 1,
+                 np.asarray(odom_delta, np.float32), info)
+            )
+        pose_idx = len(self.poses) - 1
+
+        matched_lm = np.full(O, -1, np.int64)
+        if O and self.lm_alive.any():
+            matched_lm = self._associate(pose, obs_local)
+
+        # 3. record observation edges for matches
+        for oi in range(O):
+            li = matched_lm[oi]
+            if li >= 0:
+                self.obs_edges.append((pose_idx, int(li), obs_local[oi], obs_info[oi]))
+                self.lm_seen[li] += 1
+
+        # 4. pending-track management for unmatched observations
+        self._update_pending(pose, pose_idx, obs_local, obs_info, matched_lm)
+
+        # 5. periodic local optimization
+        self.frame += 1
+        if cfg.optimize_each_n and self.frame % cfg.optimize_each_n == 0:
+            self.optimize(local=True)
+
+        return matched_lm
+
+    # -- association --------------------------------------------------------
+    def _associate(self, pose, obs_local):
+        cfg = self.cfg
+        O = len(obs_local)
+        obs_world = np.asarray(
+            lie.se2_apply(jnp.asarray(pose), jnp.asarray(obs_local))
+        )
+        L = len(self.landmarks)
+        m_idx, _ = _associate_nn(
+            jnp.asarray(obs_world),
+            jnp.ones(O, bool),
+            jnp.asarray(self.landmarks),
+            jnp.asarray(self.lm_alive),
+            cfg.incremental_guess_max_feature_distance,
+        )
+        m_idx = np.asarray(m_idx)
+        pairs = m_idx >= 0
+        if pairs.sum() < 3:
+            return np.where(pairs, m_idx, -1)
+
+        # RANSAC verification of the tentative set (+ pose correction)
+        lm_w = np.zeros((O, 2), np.float32)
+        lm_w[pairs] = self.landmarks[m_idx[pairs]]
+        self.key, sub = jax.random.split(self.key)
+        res = _ransac_verify(
+            sub,
+            jnp.asarray(obs_local),
+            jnp.asarray(lm_w),
+            jnp.asarray(pairs),
+            jnp.asarray(pose),
+            cfg.incremental_ransac_inlier_threshold,
+        )
+        if not bool(res.ok):
+            return np.full(O, -1, np.int64)
+        inl = np.asarray(res.inliers)
+        # corrected pose from the RANSAC transform
+        self.poses[-1] = np.asarray(res.transform, np.float32)
+        return np.where(pairs & inl, m_idx, -1)
+
+    # -- landmark lifecycle -------------------------------------------------
+    def _update_pending(self, pose, pose_idx, obs_local, obs_info, matched_lm):
+        cfg = self.cfg
+        obs_world = np.asarray(
+            lie.se2_apply(jnp.asarray(pose), jnp.asarray(obs_local))
+        ) if len(obs_local) else np.zeros((0, 2), np.float32)
+        unmatched = [
+            oi for oi in range(len(obs_local)) if matched_lm[oi] < 0
+        ]
+        used = set()
+        # match pending tracks by NN
+        for p in self.pending:
+            best, bd = -1, cfg.incremental_guess_max_feature_distance**2
+            for oi in unmatched:
+                if oi in used:
+                    continue
+                d = float(np.sum((obs_world[oi] - p["pos"]) ** 2))
+                if d < bd:
+                    best, bd = oi, d
+            if best >= 0:
+                used.add(best)
+                p["count"] += 1
+                p["pos"] = 0.5 * (p["pos"] + obs_world[best])
+                p["hist"].append((pose_idx, obs_local[best], obs_info[best]))
+            else:
+                p["count"] = -1  # lost -> drop
+        self.pending = [p for p in self.pending if p["count"] >= 0]
+
+        # promote mature tracks
+        promoted = []
+        for p in self.pending:
+            if p["count"] + 1 >= max(cfg.min_landmark_creation_frames, 1):
+                li = len(self.landmarks)
+                self.landmarks = np.vstack(
+                    [self.landmarks, p["pos"][None].astype(np.float32)]
+                )
+                self.lm_alive = np.append(self.lm_alive, True)
+                self.lm_seen = np.append(self.lm_seen, len(p["hist"]))
+                for (pi, z, w) in p["hist"]:
+                    self.obs_edges.append((pi, li, z, w))
+                promoted.append(id(p))
+        self.pending = [p for p in self.pending if id(p) not in promoted]
+
+        # new tracks for remaining unmatched
+        for oi in unmatched:
+            if oi in used:
+                continue
+            self.pending.append(
+                {
+                    "pos": obs_world[oi].copy(),
+                    "count": 0,
+                    "hist": [(pose_idx, obs_local[oi], obs_info[oi])],
+                }
+            )
+
+    # -- optimization -------------------------------------------------------
+    def optimize(self, local=False):
+        from ..solvers.pose_graph import optimize_se2
+
+        cfg = self.cfg
+        fix_before = None
+        if local:
+            fix_before = max(0, len(self.poses) - cfg.local_map_size)
+        g = self.graph(window_fix_before=fix_before)
+        iters = cfg.local_optimize_iters if local else cfg.global_optimize_iters
+        g_opt, stats = optimize_se2(g, iters=iters, cg_iters=cfg.cg_iters)
+        self._sync_from_graph(g_opt)
+        return float(np.asarray(stats.chi2)[-1])
+
+    # -- loop closing -------------------------------------------------------
+    def close_loops(self):
+        """RANSAC-match recent landmarks against older ones; merge accepted.
+
+        The reference's detector gates candidates by pose distance then
+        RANSACs landmark correspondences (``feature_tracker_closure.h``).
+        Here: landmarks first seen in the recent window vs the rest, gated
+        NN + RANSAC; accepted pairs are merged (edges re-targeted).
+        """
+        cfg = self.cfg
+        nl = len(self.landmarks)
+        if nl < 8:
+            return 0
+        # recent = landmarks observed from window poses
+        window_start = max(0, len(self.poses) - cfg.local_map_size)
+        recent_set = {
+            l for (p, l, _, _) in self.obs_edges if p >= window_start
+        }
+        recent = np.array(sorted(recent_set), np.int64)
+        old = np.array(
+            [l for l in range(nl) if self.lm_alive[l] and l not in recent_set],
+            np.int64,
+        )
+        if len(recent) < 3 or len(old) < 3:
+            return 0
+        m_idx, _ = _associate_nn(
+            jnp.asarray(self.landmarks[recent]),
+            jnp.ones(len(recent), bool),
+            jnp.asarray(self.landmarks[old]),
+            jnp.ones(len(old), bool),
+            cfg.loop_guess_max_feature_distance,
+        )
+        m_idx = np.asarray(m_idx)
+        pairs = m_idx >= 0
+        if pairs.sum() < 3:
+            return 0
+        tgt = np.zeros((len(recent), 2), np.float32)
+        tgt[pairs] = self.landmarks[old[m_idx[pairs]]]
+        self.key, sub = jax.random.split(self.key)
+        res = ransac(
+            sub,
+            jnp.asarray(tgt),
+            jnp.asarray(self.landmarks[recent]),
+            jnp.asarray(pairs),
+            fit_fn=rsolvers.fit_se2_points,
+            err_fn=rsolvers.err_se2_points,
+            minimal_size=2,
+            inlier_threshold=cfg.loop_ransac_inlier_threshold**2,
+            n_hypotheses=256,
+            min_inliers=3,
+        )
+        if not bool(res.ok):
+            return 0
+        inl = np.asarray(res.inliers)
+        merged = 0
+        for k in range(len(recent)):
+            if pairs[k] and inl[k]:
+                keep = int(old[m_idx[k]])
+                drop = int(recent[k])
+                if keep == drop or not self.lm_alive[drop]:
+                    continue
+                self._merge_landmarks(keep, drop)
+                merged += 1
+        return merged
+
+    def merge_nearby_landmarks(self, distance=None):
+        """Post-optimization duplicate merge (loopLandmarkMergeDistance)."""
+        d = distance or self.cfg.loop_landmark_merge_distance
+        nl = len(self.landmarks)
+        if nl < 2:
+            return 0
+        alive_idx = np.where(self.lm_alive)[0]
+        P = self.landmarks[alive_idx]
+        d2 = np.sum((P[:, None] - P[None, :]) ** 2, -1)
+        np.fill_diagonal(d2, 1e12)
+        merged = 0
+        done = set()
+        for a in range(len(alive_idx)):
+            if a in done:
+                continue
+            b = int(np.argmin(d2[a]))
+            if d2[a, b] < d * d and b not in done:
+                self._merge_landmarks(int(alive_idx[a]), int(alive_idx[b]))
+                done.add(b)
+                merged += 1
+        return merged
+
+    def _merge_landmarks(self, keep: int, drop: int):
+        for k, (p, l, z, w) in enumerate(self.obs_edges):
+            if l == drop:
+                self.obs_edges[k] = (p, keep, z, w)
+        self.lm_seen[keep] += self.lm_seen[drop]
+        self.lm_alive[drop] = False
+
+    # -- results ------------------------------------------------------------
+    def trajectory(self):
+        return np.asarray(self.poses)
+
+    def stats(self):
+        return {
+            "n_poses": len(self.poses),
+            "n_landmarks": int(self.lm_alive.sum()),
+            "n_obs_edges": len(self.obs_edges),
+            "n_odom_edges": len(self.odom_edges),
+            "n_pending": len(self.pending),
+        }

@@ -1,0 +1,141 @@
+"""2D unknown-data-association SLAM tests (synthetic world + bundled data).
+
+Synthetic fixture follows the reference's GraphSimulator pattern
+(``graph_merge/graph_simulator.h:18-108``): planted landmark world, noisy
+odometry, range-limited observations WITHOUT ids; the tracker must rebuild
+the map and beat raw odometry."""
+import os
+
+import numpy as np
+import pytest
+
+from g2o_frontend_tpu.slam.feature_tracker import FeatureTracker2D, Tracker2DConfig
+
+DATA = "/root/reference/datasets/2D"
+rng = np.random.default_rng(5)
+
+
+def simulate_world(n_frames=60, n_lm=40, sense_range=4.0, odom_noise=0.02):
+    lms = rng.uniform(-8, 8, (n_lm, 2)).astype(np.float32)
+    poses = []
+    x = np.zeros(3, np.float32)
+    deltas, obs_per_frame = [], []
+    for k in range(n_frames):
+        poses.append(x.copy())
+        # observations in robot frame
+        c, s = np.cos(x[2]), np.sin(x[2])
+        R = np.array([[c, s], [-s, c]], np.float32)  # world->robot
+        rel = (lms - x[:2]) @ R.T
+        dist = np.linalg.norm(rel, axis=1)
+        vis = dist < sense_range
+        obs = rel[vis] + rng.normal(0, 0.01, (vis.sum(), 2)).astype(np.float32)
+        obs_per_frame.append(obs.astype(np.float32))
+        # move along a circle
+        true_delta = np.array([0.5, 0.0, 2 * np.pi / n_frames], np.float32)
+        noisy = true_delta + rng.normal(0, odom_noise, 3).astype(np.float32)
+        deltas.append(noisy)
+        # integrate TRUE motion for ground truth
+        c, s = np.cos(x[2]), np.sin(x[2])
+        x = np.array(
+            [
+                x[0] + c * true_delta[0] - s * true_delta[1],
+                x[1] + s * true_delta[0] + c * true_delta[1],
+                x[2] + true_delta[2],
+            ],
+            np.float32,
+        )
+    return np.asarray(poses), lms, deltas, obs_per_frame
+
+
+class TestFeatureTracker:
+    def test_synthetic_slam_beats_odometry(self):
+        gt, lms, deltas, obs = simulate_world()
+        cfg = Tracker2DConfig(min_landmark_creation_frames=2, optimize_each_n=10)
+        tr = FeatureTracker2D(cfg)
+        for k in range(len(gt)):
+            d = np.zeros(3, np.float32) if k == 0 else deltas[k - 1]
+            tr.process_frame(d, obs[k])
+        tr.optimize(local=False)
+        st = tr.stats()
+        # landmark count should be in the ballpark of the true world
+        assert st["n_landmarks"] >= 0.6 * len(lms), st
+        assert st["n_landmarks"] <= 1.8 * len(lms), st
+
+        est = tr.trajectory()[: len(gt)]
+        err_slam = np.sqrt(np.mean(np.sum((est[:, :2] - gt[:, :2]) ** 2, -1)))
+
+        # raw odometry trajectory for comparison
+        x = np.zeros(3, np.float32)
+        odo = [x.copy()]
+        for dlt in deltas[:-1]:
+            c, s = np.cos(x[2]), np.sin(x[2])
+            x = np.array(
+                [x[0] + c * dlt[0] - s * dlt[1], x[1] + s * dlt[0] + c * dlt[1], x[2] + dlt[2]],
+                np.float32,
+            )
+            odo.append(x.copy())
+        odo = np.asarray(odo)
+        err_odo = np.sqrt(np.mean(np.sum((odo[:, :2] - gt[:, :2]) ** 2, -1)))
+        assert err_slam < 0.7 * err_odo, (err_slam, err_odo)
+        assert err_slam < 0.3, err_slam
+
+    def test_landmark_merge(self):
+        tr = FeatureTracker2D()
+        tr.landmarks = np.array([[0, 0], [0.1, 0.0], [5, 5]], np.float32)
+        tr.lm_alive = np.array([True, True, True])
+        tr.lm_seen = np.array([3, 2, 1], np.int32)
+        tr.obs_edges = [(0, 1, np.zeros(2, np.float32), np.eye(2, dtype=np.float32))]
+        merged = tr.merge_nearby_landmarks(distance=0.5)
+        assert merged == 1
+        assert tr.lm_alive.sum() == 2
+        # edge re-targeted to the kept landmark
+        assert tr.obs_edges[0][1] == 0
+
+
+@pytest.mark.skipif(not os.path.isdir(DATA), reason="datasets missing")
+class TestBundledNoassoc:
+    def test_world2000_noassoc_runs(self):
+        """BASELINE config 2: unknown-association world-2000 dataset."""
+        from g2o_frontend_tpu.io.g2o import read_g2o
+        from g2o_frontend_tpu.utils import lie
+        import jax.numpy as jnp
+
+        log = read_g2o(os.path.join(DATA, "world-2000-noassoc.g2o.gz"))
+        n_frames = 120  # subset for test speed
+        # group features by vertex
+        feats = {}
+        for row in log.features:
+            feats.setdefault(int(row[0]), []).append(row[1:3])
+        cfg = Tracker2DConfig(
+            min_landmark_creation_frames=1,
+            incremental_ransac_inlier_threshold=0.5,
+            loop_landmark_merge_distance=0.5,
+            local_map_size=10,
+            optimize_each_n=10,
+        )
+        tr = FeatureTracker2D(cfg)
+        prev = None
+        for k in range(n_frames):
+            vid = int(log.se2_ids[k])
+            pose = log.se2_poses[k]
+            if prev is None:
+                delta = np.zeros(3, np.float32)
+            else:
+                delta = np.asarray(
+                    lie.se2_relative(
+                        jnp.asarray(prev, jnp.float32), jnp.asarray(pose, jnp.float32)
+                    )
+                )
+            prev = pose
+            obs = np.asarray(feats.get(vid, np.zeros((0, 2))), np.float32)
+            tr.process_frame(delta, obs)
+        chi2 = tr.optimize(local=False)
+        st = tr.stats()
+        assert st["n_poses"] == n_frames
+        assert st["n_landmarks"] > 5, st
+        assert np.isfinite(chi2)
+        # trajectory should stay close to the (good) dataset odometry
+        est = tr.trajectory()
+        ref = log.se2_poses[:n_frames]
+        rmse = np.sqrt(np.mean(np.sum((est[:, :2] - ref[:, :2]) ** 2, -1)))
+        assert rmse < 1.0, rmse
