@@ -1,0 +1,202 @@
+"""Loop closing with partition search and consensus validation.
+
+Re-design of ``boss_map_building/map_closer.{h,cpp}`` + the PWN instantiation
+``pwn_tracker/pwn_closer.{h,cpp}``:
+
+per new keyframe:
+1. select map nodes within a pose-distance criterion of the current pose
+   (`DistancePoseAcceptanceCriterion`, ``map_utils.h:62``),
+2. group them into connected partitions (`makePartitions`,
+   ``map_utils.cpp:167``); the partition containing the current node is
+   "current", every other partition supplies closure candidates,
+3. candidate pair matching: full cloud alignment at closer scale with the
+   initial guess from current estimates, gated on image overlap
+   (`matchFrames` nonZeros/outliers/inliers gates, ``pwn_closer.cpp:117-143``),
+4. consensus: the pairwise translational/rotational consistency matrix of
+   all closure relations between two partitions (`validateRelation`,
+   ``map_closer.cpp:200-253``) — computed here as one vectorized (R, R)
+   check; accumulate per-relation inlier/outlier tallies; relations checked
+   >= `consensus_min_times_checked` are accepted iff cumInlier >
+   cumOutlierTimes, rejected relations are removed
+   (``map_closer.cpp:286-430``).
+
+Candidate alignments batch naturally: the closer calls the same jitted
+matcher for each candidate (serial host loop; clouds come from the tracker's
+LRU cache). Accepted relations flow to the reflector for optimization.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.map_manager import MapManager, MapNode, MapRelation
+from ..pwn.aligner import AlignerConfig
+from ..pwn.projector import PinholeProjector
+from .pwn_matcher import match_clouds
+
+
+@dataclass
+class CloserConfig:
+    """Defaults from conf pwn_slam_catacombs_gui.conf PwnCloser line +
+    ``map_closer.h:76-78``."""
+
+    translational_distance: float = 3.0
+    rotational_distance: float = 0.785398
+    consensus_inlier_translational_threshold: float = 0.5
+    consensus_inlier_rotational_threshold: float = 0.261799
+    consensus_min_times_checked: int = 3
+    frame_min_nonzero_threshold: int = 3000
+    frame_max_outliers_threshold: int = 100
+    frame_min_inliers_threshold: int = 3000
+    closure_clamping_distance: float = 0.5
+
+
+class MapCloser:
+    def __init__(
+        self,
+        manager: MapManager,
+        cloud_cache,
+        projector: PinholeProjector,
+        aligner_config: AlignerConfig = AlignerConfig(),
+        config: CloserConfig = CloserConfig(),
+    ):
+        self.manager = manager
+        self.cache = cloud_cache
+        self.projector = projector
+        self.acfg = aligner_config
+        self.cfg = config
+        self.committed: list[MapRelation] = []
+
+    # -- candidate generation ----------------------------------------------
+    def process_key_node(self, key_node: MapNode) -> list[MapRelation]:
+        """Run closure search for a freshly added keyframe node."""
+        cfg = self.cfg
+        self.committed = []
+        selected = self.manager.select_nodes(
+            key_node.transform, cfg.translational_distance, np.inf
+        )
+        if key_node not in selected:
+            selected.append(key_node)
+        partitions = self.manager.make_partitions(
+            selected, relation_selector=lambda r: (not r.is_closure) or r.accepted
+        )
+        current = next((p for p in partitions if key_node in p), None)
+        if current is None or len(partitions) < 2:
+            return []
+        current_set = set(current)
+
+        for part in partitions:
+            if part is current:
+                continue
+            self._process_partition(part, key_node)
+            self._validate_partitions(set(part), current_set)
+        return self.committed
+
+    def _process_partition(self, partition: list[MapNode], key_node: MapNode):
+        cfg = self.cfg
+        cur_cloud = self.cache.get(key_node.payload["frame"])
+        iT = np.linalg.inv(key_node.transform)
+        for other in partition:
+            if other is key_node or "frame" not in other.payload:
+                continue
+            if other.payload["frame"] not in self.cache:
+                continue
+            guess = iT @ other.transform
+            other_cloud = self.cache.get(other.payload["frame"])
+            res = match_clouds(
+                other_cloud,
+                cur_cloud,
+                self.projector,
+                jnp.asarray(np.linalg.inv(guess), jnp.float32),
+                self.acfg,
+            )
+            nz = int(res.image_nonzeros)
+            outl = int(res.image_outliers)
+            inl = int(res.image_inliers)
+            if (
+                nz < cfg.frame_min_nonzero_threshold
+                or outl > cfg.frame_max_outliers_threshold
+                or inl < cfg.frame_min_inliers_threshold
+            ):
+                continue
+            rel = MapRelation(
+                node_from=other,
+                node_to=key_node,
+                transform=np.asarray(res.transform, np.float64),
+                information=np.asarray(res.information, np.float64),
+                is_closure=True,
+            )
+            self.manager.add_relation(rel)
+
+    # -- consensus ----------------------------------------------------------
+    def _closure_relations_between(self, other_set, current_set):
+        rels = []
+        for n in other_set:
+            for r in self.manager.node_relations(n):
+                if not r.is_closure or r.accepted:
+                    continue
+                a, b = r.node_from, r.node_to
+                if (a in other_set and b in current_set) or (
+                    b in other_set and a in current_set
+                ):
+                    if r not in rels:
+                        rels.append(r)
+        return rels
+
+    def _validate_partitions(self, other_set, current_set):
+        cfg = self.cfg
+        rels = self._closure_relations_between(other_set, current_set)
+        R = len(rels)
+        if R == 0:
+            return
+        # orient every relation current->other: tc (node in current), to
+        tc = np.zeros((R, 4, 4))
+        to = np.zeros((R, 4, 4))
+        tr = np.zeros((R, 4, 4))
+        for i, r in enumerate(rels):
+            if r.node_from in current_set:
+                tc[i] = r.node_from.transform
+                to[i] = r.node_to.transform
+                tr[i] = np.linalg.inv(r.transform)
+            else:
+                tc[i] = r.node_to.transform
+                to[i] = r.node_from.transform
+                tr[i] = r.transform
+            r.consensus_times_checked += 1
+
+        # vectorized pairwise consistency (map_closer.cpp:200-253):
+        # hypothesis i fixes the current partition via tfix_i = to_i tr_i tc_i^-1
+        tfix = np.einsum("nij,njk,nkl->nil", to, tr, np.linalg.inv(tc))
+        # relation j evaluated under hypothesis i:
+        # trp = to_j^-1 tfix_i tc_j ; te = tr_j^-1 trp
+        to_inv = np.linalg.inv(to)
+        tr_inv = np.linalg.inv(tr)
+        trp = np.einsum("jab,ibc,jcd->ijad", to_inv, tfix, tc)
+        te = np.einsum("jab,ijbd->ijad", tr_inv, trp)
+        t_err = np.sum(te[..., :3, 3] ** 2, -1)  # squared, as the reference
+        cos_a = np.clip((np.trace(te[..., :3, :3], axis1=-2, axis2=-1) - 1) / 2, -1, 1)
+        r_err = np.abs(np.arccos(cos_a))
+
+        is_in = (t_err < cfg.consensus_inlier_translational_threshold) & (
+            r_err < cfg.consensus_inlier_rotational_threshold
+        )
+        # NOTE: the reference compares SQUARED translational error against
+        # the linear threshold (map_closer.cpp:246,352) — kept verbatim.
+        for i in range(R):
+            inliers_count = int(is_in[i].sum())
+            for j in range(R):
+                if is_in[i, j]:
+                    rels[j].consensus_cum_inlier += inliers_count
+                else:
+                    rels[j].consensus_cum_outlier_times += 1
+
+        for r in rels:
+            if r.consensus_times_checked < cfg.consensus_min_times_checked:
+                continue
+            if r.consensus_cum_inlier > r.consensus_cum_outlier_times:
+                r.accepted = True
+                self.committed.append(r)
+            else:
+                self.manager.remove_relation(r)

@@ -1,0 +1,83 @@
+"""Cloud-pair matching with image-overlap statistics (PwnMatcherBase analog).
+
+Re-design of ``pwn_tracker/pwn_matcher_base.{h,cpp}``: wraps the jitted
+aligner and adds the depth-image comparison statistics the tracker/closer
+gate on (``pwn_matcher_base.cpp:130-182``): render both clouds at the final
+transform, count overlapping pixels (nonZeros), pixels whose depth agrees
+within `frame_inlier_depth_threshold` millimeters (image_inliers), and their
+complement (image_outliers). The closure information matrix follows the
+reference's own choice of 100*I (``pwn_matcher_base.cpp:146-149``).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..pwn.aligner import AlignerConfig, align
+from ..pwn.cloud import Cloud
+from ..pwn.projector import PinholeProjector
+
+
+class MatcherResult(NamedTuple):
+    transform: jnp.ndarray  # (4, 4) to -> from
+    information: jnp.ndarray  # (6, 6)
+    cloud_inliers: jnp.ndarray  # aligner inliers
+    image_nonzeros: jnp.ndarray
+    image_inliers: jnp.ndarray
+    image_outliers: jnp.ndarray
+    reprojection_distance: jnp.ndarray  # mean |depth diff| (mm) over overlap
+    valid: jnp.ndarray  # aligner validity gates
+
+
+@partial(jax.jit, static_argnames=("projector", "config"))
+def match_clouds(
+    reference: Cloud,
+    current: Cloud,
+    projector: PinholeProjector,
+    initial_guess=None,
+    config: AlignerConfig = AlignerConfig(),
+) -> MatcherResult:
+    """Align + image-overlap statistics, all on-chip."""
+    res = align(reference, current, projector, initial_guess, config)
+
+    # depth images at the matched pose: current in its own frame, reference
+    # re-rendered through invT (as the correspondence finder does)
+    invT = jnp.linalg.inv(res.T)
+    R, t = invT[:3, :3], invT[:3, 3]
+    ref_in_cur = jnp.einsum("ij,hwj->hwi", R, reference.points) + t
+    ref_depth, _ = projector.project(ref_in_cur, reference.valid)
+    cur_depth, _ = projector.project(current.points, current.valid)
+
+    # 16UC1 conversion in the reference = millimeters
+    ref_mm = ref_depth * 1000.0
+    cur_mm = cur_depth * 1000.0
+    mask = (ref_mm > 0) & (cur_mm > 0)
+    diff = jnp.abs(cur_mm - ref_mm)
+    nonzeros = jnp.sum(mask)
+    inliers = jnp.sum(mask & (diff < 50.0))
+    rep = jnp.sum(jnp.where(mask, diff, 0.0)) / jnp.maximum(nonzeros, 1)
+
+    info = jnp.eye(6, dtype=res.T.dtype) * 100.0  # reference's closure HACK
+    return MatcherResult(
+        transform=res.T,
+        information=info,
+        cloud_inliers=res.inliers,
+        image_nonzeros=nonzeros,
+        image_inliers=inliers,
+        image_outliers=nonzeros - inliers,
+        reprojection_distance=rep,
+        valid=res.valid,
+    )
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    """PwnMatcherBase knobs (scale applied by the caller's projector)."""
+
+    scale: int = 4
+    frame_inlier_depth_threshold: float = 50.0  # mm
