@@ -1,0 +1,120 @@
+"""PWN RGB-D odometry CLI (pwn_odometry equivalent, BASELINE config 3).
+
+Runs the keyframe tracker over a TUM-style sequence (depth.txt + 16-bit
+PNGs) or a synthetic sequence, writes the TUM trajectory, and evaluates ATE
+against groundtruth.txt when present (reference protocol:
+``pwn_odometry/pwn_odometry.cpp:20-46``).
+
+Usage:
+  python -m g2o_frontend_tpu.apps.pwn_odometry SEQ_DIR [--out traj.txt]
+      [--scale 2] [--sensor kinectFreiburg1] [--max-frames N] [--conf FILE]
+  python -m g2o_frontend_tpu.apps.pwn_odometry --synthetic [--frames 30]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("seq_dir", nargs="?", help="TUM sequence directory")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--out", default="trajectory.txt")
+    ap.add_argument("--scale", type=int, default=2)
+    ap.add_argument("--sensor", default="kinect")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--conf", help="boss pipeline .conf (reference format)")
+    ap.add_argument("--kf-fraction", type=float, default=0.4)
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ..io import tum
+    from ..pwn.aligner import AlignerConfig
+    from ..pwn.converter import ConverterConfig
+    from ..pwn.projector import PinholeProjector
+    from ..slam.pwn_tracker import PwnTracker, PwnTrackerConfig
+    from ..utils import evaluation, lie
+
+    if args.conf:
+        from ..pwn.pipeline import load_pipeline
+
+        pipe = load_pipeline(args.conf)
+        proj = pipe.scaled_projector()
+        ccfg = pipe.converter_config
+        acfg = pipe.aligner_config
+    elif args.synthetic:
+        from ..utils.synth import default_projector
+
+        proj = default_projector(H=120, W=160)
+        ccfg = ConverterConfig(min_image_radius=3, max_image_radius=8, min_points=12)
+        acfg = AlignerConfig(outer_iterations=6)
+    else:
+        fx, fy, cx, cy = tum.kinect_presets[args.sensor]
+        s = args.scale
+        proj = PinholeProjector(
+            rows=480 // s, cols=640 // s, fx=fx / s, fy=fy / s,
+            cx=cx / s, cy=cy / s, min_distance=0.3, max_distance=6.0,
+        )
+        ccfg = ConverterConfig(
+            min_image_radius=max(2, 10 // s),
+            max_image_radius=max(4, 30 // s),
+            min_points=max(10, 50 // (s * s)),
+        )
+        acfg = AlignerConfig(outer_iterations=10)
+
+    tracker = PwnTracker(
+        proj, ccfg, acfg,
+        PwnTrackerConfig(new_frame_inliers_fraction=args.kf_fraction),
+    )
+
+    timestamps = []
+    if args.synthetic:
+        from ..utils.synth import render_planes_depth
+
+        for k in range(args.frames):
+            a = 2 * np.pi * k / args.frames
+            T = np.eye(4)
+            T[:3, 3] = [0.4 * np.cos(a), 0.0, 0.25 * np.sin(a)]
+            tracker.process_frame(render_planes_depth(T, proj))
+            timestamps.append(k / 30.0)
+    else:
+        index = tum.read_depth_index(args.seq_dir)
+        if args.max_frames:
+            index = index[: args.max_frames]
+        for ts, rel in index:
+            depth = tum.load_depth_png(os.path.join(args.seq_dir, rel))
+            if args.scale > 1:
+                depth = depth[:: args.scale, :: args.scale]
+            tracker.process_frame(jnp.asarray(depth, jnp.float32))
+            timestamps.append(ts)
+
+    # trajectory out (TUM format)
+    traj = tracker.trajectory_array()
+    poses7 = []
+    for T in traj:
+        q = np.asarray(lie.mat2quat_full(jnp.asarray(T[:3, :3], jnp.float32)))
+        poses7.append(np.concatenate([T[:3, 3], q[1:], q[:1]]))
+    tum.write_trajectory(args.out, timestamps, poses7)
+
+    result = {
+        "frames": len(traj),
+        "keyframes": tracker.n_keyframes,
+        "trajectory": args.out,
+    }
+    gt_file = args.seq_dir and os.path.join(args.seq_dir, "groundtruth.txt")
+    if gt_file and os.path.isfile(gt_file):
+        ts_gt, gt7 = tum.read_trajectory(gt_file)
+        result["ate"] = evaluation.ate(np.asarray(timestamps), np.asarray(poses7), ts_gt, gt7)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

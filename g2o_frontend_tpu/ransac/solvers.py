@@ -24,6 +24,20 @@ from ..utils import lie
 _EPS = 1e-9
 
 
+def _top_eigvec4(M):
+    """Dominant eigenvector of a symmetric PSD-shifted 4x4 via repeated
+    squaring: M^(2^8) concentrates the spectrum far faster than plain power
+    iteration (the shift needed for PSD-ness makes eigenvalue ratios ~1, so
+    plain iteration stalls). Normalized after each squaring to avoid overflow."""
+    for _ in range(8):
+        M = M @ M
+        M = M / jnp.maximum(jnp.sqrt(jnp.sum(M * M)), _EPS)
+    q = M @ jnp.ones(4, M.dtype)
+    # one more multiply for safety, then normalize
+    q = M @ q
+    return q / jnp.maximum(jnp.linalg.norm(q), _EPS)
+
+
 # ---------------------------------------------------------------------------
 # Point correspondences
 # ---------------------------------------------------------------------------
@@ -78,10 +92,7 @@ def fit_se3_points(p1, p2, w):
     # of N are within +-2*||S||, shift guarantees dominance.
     shift = 2.0 * jnp.sqrt(jnp.sum(S * S)) + 1e-6
     M = N + shift * jnp.eye(4, dtype=p1.dtype)
-    q = jnp.ones(4, p1.dtype)
-    for _ in range(30):
-        q = M @ q
-        q = q / jnp.maximum(jnp.linalg.norm(q), _EPS)
+    q = _top_eigvec4(M)
     q = jnp.where(q[0] < 0, -q, q)
     R = lie.quat2mat(q[1:] / jnp.maximum(jnp.linalg.norm(q), _EPS))
     t = c1 - R @ c2
@@ -138,10 +149,7 @@ def fit_se3_poses(T1, T2, w):
     t = jnp.sum(w[:, None] * Ti[:, :3, 3], 0) / wsum
     qs = jax.vmap(lambda T: lie.mat2quat_full(T[:3, :3]))(Ti)  # (N,4) wxyz
     Mq = jnp.einsum("n,ni,nj->ij", w, qs, qs)
-    q = jnp.ones(4, T1.dtype)
-    for _ in range(20):
-        q = Mq @ q
-        q = q / jnp.maximum(jnp.linalg.norm(q), _EPS)
+    q = _top_eigvec4(Mq)
     q = jnp.where(q[0] < 0, -q, q)
     T = jnp.eye(4, dtype=T1.dtype)
     T = T.at[:3, :3].set(lie.quat2mat(q[1:]))
@@ -219,10 +227,7 @@ def fit_se3_planes(pl1, pl2, w):
     N = N.at[1:, 1:].set(S + S.T - tr * jnp.eye(3, dtype=pl1.dtype))
     shift = 2.0 * jnp.sqrt(jnp.sum(S * S)) + 1e-6
     M = N + shift * jnp.eye(4, dtype=pl1.dtype)
-    q = jnp.ones(4, pl1.dtype)
-    for _ in range(30):
-        q = M @ q
-        q = q / jnp.maximum(jnp.linalg.norm(q), _EPS)
+    q = _top_eigvec4(M)
     q = jnp.where(q[0] < 0, -q, q)
     R = lie.quat2mat(q[1:] / jnp.maximum(jnp.linalg.norm(q), _EPS))
     n1_pred = n2 @ R.T
@@ -272,10 +277,7 @@ def fit_se3_lines(l1, l2, w):
     N = N.at[1:, 1:].set(S + S.T - tr * jnp.eye(3, dtype=l1.dtype))
     shift = 2.0 * jnp.sqrt(jnp.sum(S * S)) + 1e-6
     M = N + shift * jnp.eye(4, dtype=l1.dtype)
-    q = jnp.ones(4, l1.dtype)
-    for _ in range(30):
-        q = M @ q
-        q = q / jnp.maximum(jnp.linalg.norm(q), _EPS)
+    q = _top_eigvec4(M)
     q = jnp.where(q[0] < 0, -q, q)
     R = lie.quat2mat(q[1:] / jnp.maximum(jnp.linalg.norm(q), _EPS))
     # projector onto the plane orthogonal to line-1 direction
