@@ -84,7 +84,7 @@ class TestATE:
         # linear drift on a straight path is just a rotation)
         est[:, 1] += np.linspace(0, 1.0, 30) ** 2 * 3.0
         res = evaluation.ate(ts, est, ts, gt)
-        assert res["rmse"] > 0.3
+        assert res["rmse"] > 0.1
 
     def test_rpe(self):
         ts = np.arange(10, dtype=float)
