@@ -1,0 +1,139 @@
+"""Synthetic 2D world / trajectory simulator (graph_merge's GraphSimulator).
+
+Re-design of ``graph_merge/graph_simulator.{h,cpp}`` (``graph_simulator.h:
+18-108``): generates ground-truth trajectories on a bounded 2D world,
+derives noisy odometry edges, landmark observations, and optional loop
+closures — the framework's standard test/benchmark fixture (SURVEY.md §4)
+and the input generator for the multi-graph merge tools.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.g2o import G2OLog
+
+
+@dataclass
+class SimulatorConfig:
+    n_poses: int = 200
+    world_size: float = 30.0
+    step: float = 0.5
+    turn_prob: float = 0.2
+    n_landmarks: int = 80
+    sense_range: float = 5.0
+    odom_noise: tuple = (0.02, 0.02, 0.01)  # x, y, theta std
+    obs_noise: float = 0.05
+    closure_prob: float = 0.3
+    closure_radius: float = 1.5
+    seed: int = 0
+
+
+@dataclass
+class SimulatedWorld:
+    gt_poses: np.ndarray  # (N, 3)
+    landmarks: np.ndarray  # (L, 2)
+    odom_edges: list = field(default_factory=list)  # (i, j, z(3,), info(3,3))
+    closure_edges: list = field(default_factory=list)
+    observations: list = field(default_factory=list)  # (pose, lm, z(2,), info)
+
+    def noisy_init(self):
+        """Odometry-integrated initial guess (what SLAM starts from)."""
+        init = np.zeros_like(self.gt_poses)
+        init[0] = self.gt_poses[0]
+        edge = {(i, j): z for (i, j, z, _) in self.odom_edges}
+        for i in range(len(init) - 1):
+            z = edge[(i, i + 1)]
+            c, s = np.cos(init[i, 2]), np.sin(init[i, 2])
+            init[i + 1] = [
+                init[i, 0] + c * z[0] - s * z[1],
+                init[i, 1] + s * z[0] + c * z[1],
+                init[i, 2] + z[2],
+            ]
+        return init
+
+    def to_g2o_log(self, with_landmarks=True, use_gt=False) -> G2OLog:
+        poses = self.gt_poses if use_gt else self.noisy_init()
+        e_ij = [[i, j] for (i, j, _, _) in self.odom_edges + self.closure_edges]
+        e_z = [z for (_, _, z, _) in self.odom_edges + self.closure_edges]
+        e_w = [w for (_, _, _, w) in self.odom_edges + self.closure_edges]
+        log = G2OLog(
+            se2_ids=np.arange(len(poses)),
+            se2_poses=poses.astype(np.float64),
+            edge_se2_ij=np.asarray(e_ij, np.int64).reshape(-1, 2),
+            edge_se2_meas=np.asarray(e_z).reshape(-1, 3),
+            edge_se2_info=np.asarray(e_w).reshape(-1, 3, 3),
+            fixed_ids=np.array([0]),
+        )
+        if with_landmarks and self.observations:
+            lm_base = 1000000
+            log.xy_ids = np.asarray([lm_base + l for l in range(len(self.landmarks))])
+            log.xy_points = self.landmarks.astype(np.float64)
+            log.edge_se2xy_ij = np.asarray(
+                [[p, lm_base + l] for (p, l, _, _) in self.observations]
+            )
+            log.edge_se2xy_meas = np.asarray([z for (_, _, z, _) in self.observations])
+            log.edge_se2xy_info = np.asarray([w for (_, _, _, w) in self.observations])
+        return log
+
+
+def _rel(a, b):
+    c, s = np.cos(a[2]), np.sin(a[2])
+    d = b[:2] - a[:2]
+    dth = (b[2] - a[2] + np.pi) % (2 * np.pi) - np.pi
+    return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1], dth])
+
+
+def simulate(config: SimulatorConfig = SimulatorConfig()) -> SimulatedWorld:
+    """Random-walk trajectory with Manhattan-ish turns + closures + landmarks."""
+    cfg = config
+    rng = np.random.default_rng(cfg.seed)
+    half = cfg.world_size / 2
+
+    poses = [np.zeros(3)]
+    for _ in range(cfg.n_poses - 1):
+        x = poses[-1].copy()
+        if rng.random() < cfg.turn_prob:
+            x[2] += rng.choice([-np.pi / 2, np.pi / 2])
+        nxt = x + np.array([cfg.step * np.cos(x[2]), cfg.step * np.sin(x[2]), 0.0])
+        # bounce off world bounds
+        if abs(nxt[0]) > half or abs(nxt[1]) > half:
+            x[2] += np.pi / 2
+            nxt = x + np.array([cfg.step * np.cos(x[2]), cfg.step * np.sin(x[2]), 0.0])
+        poses.append(nxt)
+    gt = np.asarray(poses)
+    gt[:, 2] = (gt[:, 2] + np.pi) % (2 * np.pi) - np.pi
+
+    info_o = np.diag(
+        [1.0 / cfg.odom_noise[0] ** 2, 1.0 / cfg.odom_noise[1] ** 2,
+         1.0 / cfg.odom_noise[2] ** 2]
+    )
+    odom = []
+    for i in range(len(gt) - 1):
+        z = _rel(gt[i], gt[i + 1]) + rng.normal(0, cfg.odom_noise, 3)
+        odom.append((i, i + 1, z, info_o))
+
+    closures = []
+    for j in range(len(gt)):
+        if rng.random() > cfg.closure_prob:
+            continue
+        d = np.linalg.norm(gt[:j - 10, :2] - gt[j, :2], axis=1) if j > 10 else []
+        if len(d) and d.min() < cfg.closure_radius:
+            i = int(np.argmin(d))
+            z = _rel(gt[i], gt[j]) + rng.normal(0, cfg.odom_noise, 3)
+            closures.append((i, j, z, info_o))
+
+    lms = rng.uniform(-half, half, (cfg.n_landmarks, 2))
+    info_l = np.eye(2) / cfg.obs_noise**2
+    obs = []
+    for i, x in enumerate(gt):
+        c, s = np.cos(x[2]), np.sin(x[2])
+        R = np.array([[c, s], [-s, c]])
+        rel = (lms - x[:2]) @ R.T
+        vis = np.linalg.norm(rel, axis=1) < cfg.sense_range
+        for l in np.where(vis)[0]:
+            z = rel[l] + rng.normal(0, cfg.obs_noise, 2)
+            obs.append((i, int(l), z, info_l))
+
+    return SimulatedWorld(gt, lms, odom, closures, obs)
