@@ -13,12 +13,20 @@ NOTE: on the tunneled axon TPU platform ``block_until_ready`` does not
 synchronize; all timings force ``np.asarray`` transfers.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 DATA = "/root/reference/datasets/2D"
+
+# Persistent XLA compilation cache: repeat bench invocations skip the
+# multi-minute tunnel compiles.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _make_depth_pair(H=480, W=640):
