@@ -123,10 +123,10 @@ def bench_pose_graph(device=None):
     g, _ = graph2d_from_log(log)
     if device is not None:
         g = jax.device_put(g, device)
-    ITERS = 10
+    ITERS, CG = 30, 300  # convergence-quality setting (chi2 8.4e7 -> ~1e5)
 
     def run():
-        g_out, stats = optimize_se2(g, iters=ITERS, cg_iters=100)
+        g_out, stats = optimize_se2(g, iters=ITERS, cg_iters=CG)
         return np.asarray(g_out.poses), stats
 
     run()
@@ -134,7 +134,11 @@ def bench_pose_graph(device=None):
     for _ in range(3):
         poses, stats = run()
     dt = (time.perf_counter() - t0) / 3
-    return {"lm_iters_per_s": ITERS / dt}
+    chi2 = np.asarray(stats.chi2)
+    return {
+        "lm_iters_per_s": ITERS / dt,
+        "chi2_final": float(chi2[-1]),
+    }
 
 
 def main():
@@ -165,6 +169,7 @@ def main():
         "align_t_err_m": round(pwn["t_err_m"], 5),
         "align_inliers": pwn["inliers"],
         "pose_graph_lm_iters_per_s": round(pgo["lm_iters_per_s"], 3),
+        "pose_graph_chi2_final": round(pgo["chi2_final"], 1),
     }
     print(json.dumps(out))
 

@@ -123,6 +123,68 @@ class PinholeProjector:
 
 
 @dataclass(frozen=True)
+class MultiProjector:
+    """Composite projector: sub-projectors stacked along image columns.
+
+    Analog of ``pwn_core/multipointprojector.h:7-14`` (a rig of cameras
+    rendered side-by-side). Each child owns a column band of the composite
+    image and a rigid mounting transform (child <- rig frame).
+    `projectors` is a tuple of (projector, transform 4x4 tuple) pairs; all
+    children must share `rows`.
+    """
+
+    projectors: tuple  # ((PinholeProjector, 16-float transform tuple), ...)
+
+    @property
+    def rows(self):
+        return self.projectors[0][0].rows
+
+    @property
+    def cols(self):
+        return sum(p.cols for p, _ in self.projectors)
+
+    def _transforms(self):
+        import numpy as np
+
+        return [np.asarray(t, float).reshape(4, 4) for _, t in self.projectors]
+
+    def unproject(self, depth):
+        """Composite depth -> points in the RIG frame."""
+        outs, vals = [], []
+        c0 = 0
+        for (p, t) in self.projectors:
+            T = jnp.asarray(jnp.reshape(jnp.asarray(t), (4, 4)), depth.dtype)
+            pts, valid = p.unproject(depth[:, c0 : c0 + p.cols])
+            pts = jnp.einsum("ij,hwj->hwi", T[:3, :3], pts) + T[:3, 3]
+            pts = jnp.where(valid[..., None], pts, 0.0)
+            outs.append(pts)
+            vals.append(valid)
+            c0 += p.cols
+        return jnp.concatenate(outs, axis=1), jnp.concatenate(vals, axis=1)
+
+    def project(self, points, valid):
+        """Rig-frame points -> composite (depth, index) image."""
+        depths, idxs = [], []
+        for (p, t) in self.projectors:
+            T = jnp.reshape(jnp.asarray(t, points.dtype), (4, 4))
+            Ri = T[:3, :3].T
+            ti = -Ri @ T[:3, 3]
+            local = jnp.einsum("ij,...j->...i", Ri, points) + ti
+            d, idx = p.project(local, valid)
+            depths.append(d)
+            idxs.append(idx)
+        return jnp.concatenate(depths, axis=1), jnp.concatenate(idxs, axis=1)
+
+    def project_intervals(self, depth, world_radius):
+        outs = []
+        c0 = 0
+        for (p, _) in self.projectors:
+            outs.append(p.project_intervals(depth[:, c0 : c0 + p.cols], world_radius))
+            c0 += p.cols
+        return jnp.concatenate(outs, axis=1)
+
+
+@dataclass(frozen=True)
 class CylindricalProjector:
     """Cylindrical projector (reference ``cylindricalpointprojector.h:13``):
     columns map to azimuth, rows to elevation-scaled y/r."""
