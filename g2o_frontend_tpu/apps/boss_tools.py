@@ -1,0 +1,103 @@
+"""boss log tools: inspect / synchronize / playback (boss_apps equivalent).
+
+Covers ``boss_apps/``: `boss_synchronizer2.cpp:114` (raw log -> synced
+frames), `boss_playback.cpp:147` (timed replay), plus an `inspect` summary.
+
+Usage:
+  python -m g2o_frontend_tpu.apps.boss_tools inspect LOG.boss
+  python -m g2o_frontend_tpu.apps.boss_tools sync LOG.boss -o SYNCED.boss \
+      -t /camera/depth -t /imu --dt 0.05
+  python -m g2o_frontend_tpu.apps.boss_tools playback LOG.boss [--rate 2.0]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from collections import Counter
+
+from ..io import boss
+from ..io.sensors import SensorData, SensorDataSynchronizer
+
+
+def cmd_inspect(args):
+    de = boss.Deserializer(args.log)
+    objs = de.read_all()
+    counts = Counter(
+        o.get("#class", "dict") if isinstance(o, dict) else type(o).__name__
+        for o in objs
+    )
+    print(json.dumps({"objects": len(objs), "classes": dict(counts)}))
+    return 0
+
+
+def _iter_messages(objs):
+    for o in objs:
+        if isinstance(o, dict):
+            topic = o.get("topic")
+            ts = o.get("timestamp", o.get("ts"))
+            if topic is not None and ts is not None:
+                yield SensorData(topic, float(ts), o)
+
+
+def cmd_sync(args):
+    de = boss.Deserializer(args.log)
+    objs = de.read_all()
+    sync = SensorDataSynchronizer(args.topics)
+    for a in args.topics[1:]:
+        sync.add_sync_time_condition(args.topics[0], a, args.dt)
+    n_frames = 0
+    with boss.Serializer(args.output) as ser:
+        for msg in _iter_messages(objs):
+            frame = sync.process(msg)
+            if frame:
+                n_frames += 1
+                ser.write(
+                    {
+                        "#class": "SynchronizedSensorData",
+                        "topic": "sync",
+                        "timestamp": max(m.timestamp for m in frame.values()),
+                        "messages": [m.payload for m in frame.values()],
+                    }
+                )
+    print(json.dumps({"frames": n_frames, "dropped": sync.dropped,
+                      "output": args.output}))
+    return 0
+
+
+def cmd_playback(args):
+    de = boss.Deserializer(args.log)
+    objs = de.read_all()
+    msgs = sorted(_iter_messages(objs), key=lambda m: m.timestamp)
+    t_prev = None
+    for m in msgs:
+        if t_prev is not None and args.rate > 0:
+            time.sleep(max(0.0, (m.timestamp - t_prev) / args.rate))
+        t_prev = m.timestamp
+        print(json.dumps({"t": m.timestamp, "topic": m.topic}))
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("inspect")
+    p.add_argument("log")
+    p.set_defaults(fn=cmd_inspect)
+    p = sub.add_parser("sync")
+    p.add_argument("log")
+    p.add_argument("-o", "--output", default="synced.boss")
+    p.add_argument("-t", "--topics", action="append", required=True)
+    p.add_argument("--dt", type=float, default=0.05)
+    p.set_defaults(fn=cmd_sync)
+    p = sub.add_parser("playback")
+    p.add_argument("log")
+    p.add_argument("--rate", type=float, default=0.0)
+    p.set_defaults(fn=cmd_playback)
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

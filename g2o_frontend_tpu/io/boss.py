@@ -244,6 +244,10 @@ class Serializer:
         self._ids: dict[int, int] = {}
         self._next = 0
         self._n_blobs = 0
+        # Written objects are pinned: id()-keyed dedup would otherwise
+        # confuse a new object reusing a freed address with an old one.
+        self._keepalive: list = []
+        self._written: set = set()
 
     def _id_of(self, obj):
         key = id(obj)
@@ -284,14 +288,11 @@ class Serializer:
                 continue
             self._write_one(nxt, None, queue)
 
-    _written: set
-
     def _write_one(self, obj, class_name, queue):
-        if not hasattr(self, "_written"):
-            self._written = set()
         if id(obj) in self._written:
             return
         self._written.add(id(obj))
+        self._keepalive.append(obj)
         cname = class_name or type(obj).__name__
         if hasattr(obj, "to_boss"):
             data = obj.to_boss()
