@@ -1,0 +1,86 @@
+"""Submap grid SLAM on synthetic rooms and the real bundled laser log."""
+import os
+
+import numpy as np
+import pytest
+
+from g2o_frontend_tpu.slam.grid_slam import GridSlam2D, GridSlamConfig
+
+import sys
+sys.path.insert(0, os.path.dirname(__file__))
+from test_laser import square_room_scan  # noqa: E402
+
+DATA = "/root/reference/datasets/2D"
+rng = np.random.default_rng(41)
+
+
+class TestGridSlamSynthetic:
+    def test_square_room_sequence(self):
+        cfg = GridSlamConfig(
+            map_half_size=8.0, scans_per_submap=8, min_match_score=5.0
+        )
+        slam = GridSlam2D(cfg)
+        x = np.zeros(3)
+        n = 20
+        n_matched = 0
+        for k in range(n):
+            ranges, angles = square_room_scan(pose=tuple(x), noise=0.005)
+            delta_true = np.array([0.2, 0.0, 0.15])
+            delta = delta_true + rng.normal(0, 0.02, 3)
+            m = slam.process_scan(np.asarray(ranges), np.asarray(angles), delta)
+            n_matched += bool(m["matched"])
+            c, s = np.cos(x[2]), np.sin(x[2])
+            x = np.array(
+                [x[0] + c * delta_true[0] - s * delta_true[1],
+                 x[1] + s * delta_true[0] + c * delta_true[1],
+                 x[2] + delta_true[2]]
+            )
+        st = slam.stats()
+        assert st["n_poses"] == n
+        assert st["n_submaps"] >= 2
+        assert n_matched > n * 0.6, n_matched
+        chi2 = slam.optimize(iters=8, cg_iters=80)
+        assert np.isfinite(chi2)
+        # scan matching should beat odometry noise accumulation
+        est = np.asarray(slam.poses)
+        # (x holds true pose for frame n; compare last recorded)
+        # loose sanity: positions bounded inside the room
+        assert np.abs(est[:, :2]).max() < 8.0
+
+
+@pytest.mark.skipif(not os.path.isdir(DATA), reason="datasets missing")
+class TestGridSlamRealLog:
+    def test_graphse2_laser_log(self):
+        from g2o_frontend_tpu.io.g2o import read_g2o
+        from g2o_frontend_tpu.utils import lie
+        import jax.numpy as jnp
+
+        log = read_g2o(os.path.join(DATA, "graphSE2.g2o"))
+        n = 60  # subset for test runtime
+        cfg = GridSlamConfig(map_half_size=20.0, scans_per_submap=15,
+                             min_match_score=5.0)
+        slam = GridSlam2D(cfg)
+        prev = None
+        for k in range(n):
+            scan = log.laser_scans[k]
+            pose = log.se2_poses[k]
+            delta = (
+                np.zeros(3, np.float32)
+                if prev is None
+                else np.asarray(
+                    lie.se2_relative(
+                        jnp.asarray(prev, jnp.float32), jnp.asarray(pose, jnp.float32)
+                    )
+                )
+            )
+            prev = pose
+            slam.process_scan(scan.ranges, scan.angles, delta)
+        st = slam.stats()
+        assert st["n_poses"] == n
+        chi2 = slam.optimize(iters=6, cg_iters=60)
+        assert np.isfinite(chi2)
+        # trajectory should stay near the log's odometry (good odometry log)
+        est = np.asarray(slam.poses)
+        ref = log.se2_poses[:n]
+        rmse = np.sqrt(np.mean(np.sum((est[:, :2] - ref[:, :2]) ** 2, -1)))
+        assert rmse < 1.5, rmse
