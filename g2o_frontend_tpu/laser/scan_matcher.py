@@ -110,6 +110,7 @@ def correlative_match(
     spec: GridSpec,
     thetas,
     search_radius_cells: int = 32,
+    translation_prior=None,
 ):
     """Exhaustive (x, y, theta) search via FFT correlation per rotation.
 
@@ -118,16 +119,24 @@ def correlative_match(
       scan_points: (N, 2) current scan in its own frame.
       thetas: (K,) candidate rotations.
       search_radius_cells: max |dx|,|dy| in cells considered valid.
+      translation_prior: optional (2,) predicted translation; the shift
+        search then covers prior +- radius instead of 0 +- radius (needed
+        when the scan pose is far from the map frame origin).
 
     Returns MatchResult with the best [x, y, theta].
     """
     H, W = spec.rows, spec.cols
     Fmap = jnp.fft.rfft2(likelihood_map)
+    prior = (
+        jnp.zeros(2, likelihood_map.dtype)
+        if translation_prior is None
+        else jnp.asarray(translation_prior, likelihood_map.dtype)
+    )
 
     def score_theta(th):
         c, s = jnp.cos(th), jnp.sin(th)
         R = jnp.array([[c, -s], [s, c]])
-        pts = scan_points @ R.T
+        pts = scan_points @ R.T + prior
         img = _render_scan(pts, scan_valid, spec)
         # circular cross-correlation: corr[dy, dx] = sum img[y, x] map[y+dy, x+dx]
         corr = jnp.fft.irfft2(Fmap * jnp.conj(jnp.fft.rfft2(img)), s=(H, W))
@@ -148,7 +157,7 @@ def correlative_match(
     sx = jnp.where(dx[ix] > W // 2, dx[ix] - W, dx[ix])
     # map[y+dy, x+dx] pairing img[y, x]: scan cell (x, y) matches map cell
     # (x+sx, y+sy) -> scan frame is translated by +s in grid units
-    tx = sx * spec.resolution
-    ty = sy * spec.resolution
+    tx = sx * spec.resolution + prior[0]
+    ty = sy * spec.resolution + prior[1]
     pose = jnp.array([tx, ty, thetas[k_best]], likelihood_map.dtype)
     return MatchResult(pose, scores_theta[k_best], scores_theta)

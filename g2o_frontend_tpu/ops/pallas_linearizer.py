@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 C_IN = 25
-C_OUT = 40
+C_OUT = 128  # TPU lane-width padded output row (29 used)
 LANE_TILE = 1024  # pixels per grid step (8 sublane rows x 128 lanes)
 
 
@@ -126,8 +126,8 @@ def _linearize_kernel(inlier_max_chi2, packed_ref, out_ref):
     ]
     acc = jnp.stack(rows, axis=0)  # (29, LANE_TILE)
     partial_sums = jnp.sum(acc, axis=1)  # (29,)
-    out = jnp.zeros((C_OUT,), acc.dtype).at[:29].set(partial_sums)
-    out_ref[0, :] = out
+    out = jnp.zeros((8, C_OUT), acc.dtype).at[0, :29].set(partial_sums)
+    out_ref[0, :, :] = out
 
 
 def pack_inputs(mask, ref_pts_cur, ref_nrm_cur, cur_points, cur_normals,
@@ -166,14 +166,14 @@ def linearize_pallas(packed, inlier_max_chi2: float = 9e3, interpret: bool = Fal
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((C_IN, LANE_TILE), lambda i: (0, i),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, C_OUT), lambda i: (i, 0),
-                               memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, C_OUT), packed.dtype),
+        out_specs=pl.BlockSpec((1, 8, C_OUT), lambda i: (i, 0, 0),
+                               memory_space=pl.ANY if interpret else pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, C_OUT), packed.dtype),
         interpret=interpret,
     )(packed)
-    s = jnp.sum(partials, axis=0)
+    s = jnp.sum(partials[:, 0, :], axis=0)
     Htt = s[0:6]
     Htr = s[6:15].reshape(3, 3)
     Hrr = s[15:21]

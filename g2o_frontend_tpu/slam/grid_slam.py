@@ -158,6 +158,7 @@ class GridSlam2D:
             sm.spec,
             jnp.asarray(thetas),
             search_radius_cells=int(radius_m / cfg.resolution),
+            translation_prior=jnp.asarray(local_pred[:2], jnp.float32),
         )
         score = float(res.score)
         if score < min_score:

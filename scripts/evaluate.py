@@ -1,0 +1,257 @@
+"""Evaluation harness: the BASELINE configs on the bundled datasets.
+
+Produces EVAL.md + figures in eval_out/:
+1. 2D pose-graph optimization on each bundled dataset (chi2 before/after).
+2. Unknown-DA landmark SLAM (tracker2d) on world-2000-noassoc vs the
+   full-association optimum of the same world (ATE).
+3. Submap grid SLAM on the graphSE2 laser log (map + trajectory).
+4. Synthetic PWN SLAM loop (keyframes, closures, final chi2).
+
+Run:  python scripts/evaluate.py [--fast]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA = "/root/reference/datasets/2D"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "eval_out")
+
+
+def eval_pose_graphs(fast):
+    import jax.numpy as jnp
+
+    from g2o_frontend_tpu.graph.store import graph2d_from_log
+    from g2o_frontend_tpu.io.g2o import read_g2o
+    from g2o_frontend_tpu.solvers import pose_graph as pg
+
+    rows = []
+    files = [
+        "graphSE2.g2o",
+        "world-2000-full.g2o.gz",
+        "world-2000-lownoise-full.g2o.gz",
+        "victoriaPark-full.g2o.gz",
+    ]
+    if fast:
+        files = files[:2]
+    for f in files:
+        log = read_g2o(os.path.join(DATA, f))
+        g, _ = graph2d_from_log(log)
+        t0 = time.perf_counter()
+        g_opt, stats = pg.optimize_se2(g, iters=30, cg_iters=300)
+        tr = np.asarray(stats.chi2)
+        wall = time.perf_counter() - t0
+        rows.append(
+            {
+                "dataset": f,
+                "poses": g.n_poses,
+                "edges": g.n_pp_edges + g.n_pl_edges,
+                "chi2_init": float(tr[0]),
+                "chi2_final": float(tr[-1]),
+                "wall_s": round(wall, 2),
+            }
+        )
+    return rows
+
+
+def eval_unknown_da(fast):
+    """tracker2d on noassoc vs the full-association optimum (ATE)."""
+    import jax.numpy as jnp
+
+    from g2o_frontend_tpu.graph.store import graph2d_from_log
+    from g2o_frontend_tpu.io.g2o import read_g2o
+    from g2o_frontend_tpu.slam.feature_tracker import (
+        FeatureTracker2D,
+        Tracker2DConfig,
+    )
+    from g2o_frontend_tpu.solvers import pose_graph as pg
+    from g2o_frontend_tpu.utils import lie
+    from g2o_frontend_tpu.utils.evaluation import ate_xy
+
+    n_frames = 300 if fast else 800
+
+    # reference solution: optimize the KNOWN-association graph
+    log_full = read_g2o(os.path.join(DATA, "world-2000-full.g2o.gz"))
+    g_full, _ = graph2d_from_log(log_full)
+    g_full_opt, _ = pg.optimize_se2(g_full, iters=20, cg_iters=200)
+    ref_traj = np.asarray(g_full_opt.poses)[:n_frames]
+
+    # our unknown-association run
+    log = read_g2o(os.path.join(DATA, "world-2000-noassoc.g2o.gz"))
+    feats = {}
+    for row in log.features:
+        feats.setdefault(int(row[0]), []).append(row[1:3])
+    tr = FeatureTracker2D(
+        Tracker2DConfig(
+            min_landmark_creation_frames=1,
+            incremental_ransac_inlier_threshold=0.5,
+            local_map_size=10,
+            optimize_each_n=20,
+        )
+    )
+    prev = None
+    t0 = time.perf_counter()
+    for k in range(min(n_frames, len(log.se2_ids))):
+        vid = int(log.se2_ids[k])
+        pose = log.se2_poses[k]
+        delta = (
+            np.zeros(3, np.float32)
+            if prev is None
+            else np.asarray(
+                lie.se2_relative(
+                    jnp.asarray(prev, jnp.float32), jnp.asarray(pose, jnp.float32)
+                )
+            )
+        )
+        prev = pose
+        obs = np.asarray(feats.get(vid, np.zeros((0, 2))), np.float32)
+        tr.process_frame(delta, obs)
+        if (k + 1) % 100 == 0:
+            tr.close_loops()
+    tr.merge_nearby_landmarks()
+    chi2 = tr.optimize(local=False)
+    wall = time.perf_counter() - t0
+
+    est = tr.trajectory()[: len(ref_traj)]
+    res_vs_ref = ate_xy(est[:, :2], ref_traj[:, :2])
+    odo = log.se2_poses[: len(ref_traj)]
+    odo_vs_ref = ate_xy(odo[:, :2], ref_traj[:, :2])
+
+    from g2o_frontend_tpu.utils.viz import plot_trajectory_2d
+
+    plot_trajectory_2d(
+        os.path.join(OUT, "unknown_da_world2000.png"),
+        {
+            "full-assoc optimum": ref_traj[:, :2],
+            "ours (noassoc)": est[:, :2],
+            "odometry": odo[:, :2],
+        },
+        landmarks=tr.landmarks[tr.lm_alive],
+        title=f"world-2000 unknown association ({len(est)} frames)",
+    )
+    return {
+        "frames": int(len(est)),
+        "landmarks": int(tr.lm_alive.sum()),
+        "chi2": chi2,
+        "ate_vs_full_optimum_rmse": res_vs_ref["rmse"],
+        "ate_odometry_rmse": odo_vs_ref["rmse"],
+        "wall_s": round(wall, 1),
+    }
+
+
+def eval_grid_slam(fast):
+    import jax.numpy as jnp
+
+    from g2o_frontend_tpu.io.g2o import read_g2o
+    from g2o_frontend_tpu.slam.grid_slam import GridSlam2D, GridSlamConfig
+    from g2o_frontend_tpu.utils import lie
+    from g2o_frontend_tpu.utils.viz import plot_trajectory_2d
+
+    log = read_g2o(os.path.join(DATA, "graphSE2.g2o"))
+    n = 150 if fast else len(log.laser_scans)
+    slam = GridSlam2D(GridSlamConfig(map_half_size=20.0, scans_per_submap=15,
+                                     min_match_score=5.0))
+    prev = None
+    t0 = time.perf_counter()
+    for k in range(min(n, len(log.laser_scans))):
+        scan = log.laser_scans[k]
+        pose = log.se2_poses[k]
+        delta = (
+            np.zeros(3, np.float32)
+            if prev is None
+            else np.asarray(
+                lie.se2_relative(
+                    jnp.asarray(prev, jnp.float32), jnp.asarray(pose, jnp.float32)
+                )
+            )
+        )
+        prev = pose
+        slam.process_scan(scan.ranges, scan.angles, delta)
+    chi2 = slam.optimize(iters=10, cg_iters=100)
+    wall = time.perf_counter() - t0
+    est = np.asarray(slam.poses)
+    plot_trajectory_2d(
+        os.path.join(OUT, "grid_slam_graphSE2.png"),
+        {"grid SLAM": est[:, :2], "log odometry": log.se2_poses[: len(est), :2]},
+        title=f"graphSE2 laser log ({len(est)} scans, "
+              f"{slam.stats()['n_submaps']} submaps)",
+    )
+    drift = float(
+        np.sqrt(np.mean(np.sum((est[:, :2] - log.se2_poses[: len(est), :2]) ** 2, -1)))
+    )
+    return {**slam.stats(), "chi2": chi2, "rmse_vs_log": drift,
+            "wall_s": round(wall, 1)}
+
+
+def eval_pwn_slam():
+    from g2o_frontend_tpu.apps.pwn_slam import main as pwn_main
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pwn_main(
+            ["--synthetic", "--frames", "40",
+             "--out-map", os.path.join(OUT, "pwn_map.npz"),
+             "--out-traj", os.path.join(OUT, "pwn_traj.txt")]
+        )
+    return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true")
+    args = ap.parse_args()
+    os.makedirs(OUT, exist_ok=True)
+
+    results = {}
+    results["pose_graphs"] = eval_pose_graphs(args.fast)
+    results["unknown_da"] = eval_unknown_da(args.fast)
+    results["grid_slam"] = eval_grid_slam(args.fast)
+    results["pwn_slam"] = eval_pwn_slam()
+
+    lines = ["# Evaluation results", "",
+             "Bundled-dataset evaluation per BASELINE.md configs.", ""]
+    lines += ["## 1. Pose-graph optimization (30 LM x 300 CG)", "",
+              "| dataset | poses | edges | chi2 init | chi2 final | wall s |",
+              "|---|---|---|---|---|---|"]
+    for r in results["pose_graphs"]:
+        lines.append(
+            f"| {r['dataset']} | {r['poses']} | {r['edges']} | "
+            f"{r['chi2_init']:.3e} | {r['chi2_final']:.3e} | {r['wall_s']} |"
+        )
+    u = results["unknown_da"]
+    lines += ["", "## 2. Unknown data association (world-2000-noassoc)", "",
+              f"- frames: {u['frames']}, landmarks: {u['landmarks']}",
+              f"- ATE vs full-association optimum: **{u['ate_vs_full_optimum_rmse']:.3f} m** "
+              f"(odometry baseline: {u['ate_odometry_rmse']:.3f} m)",
+              f"- final chi2 {u['chi2']:.1f}, wall {u['wall_s']} s",
+              "- figure: eval_out/unknown_da_world2000.png"]
+    gsl = results["grid_slam"]
+    lines += ["", "## 3. Submap grid SLAM (graphSE2 laser log)", "",
+              f"- scans: {gsl['n_poses']}, submaps: {gsl['n_submaps']}, "
+              f"edges: {gsl['n_edges']}",
+              f"- trajectory rmse vs log odometry: {gsl['rmse_vs_log']:.3f} m "
+              "(the log odometry is the dataset's own estimate; deviations "
+              "reflect scan-matching corrections)",
+              f"- wall {gsl['wall_s']} s",
+              "- figure: eval_out/grid_slam_graphSE2.png"]
+    p = results["pwn_slam"]
+    lines += ["", "## 4. PWN SLAM (synthetic RGB-D loop)", "",
+              f"- frames {p['frames']}, keyframes {p['keyframes']}, "
+              f"closures {p['closures']}, final chi2 {p['final_chi2']:.2e}"]
+    with open(os.path.join(OUT, "..", "EVAL.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
