@@ -47,3 +47,26 @@ def test_sharded_landmark_graph():
     mesh = make_mesh(4)
     g_sh, trace = optimize_se2_sharded(g, mesh, iters=10, cg_iters=100)
     assert float(trace[-1]) < 1e-3
+
+
+def test_sharded_se3_matches_single():
+    import os
+    import numpy as np
+    from g2o_frontend_tpu.graph.store import graph3d_from_log
+    from g2o_frontend_tpu.io.g2o import read_g2o
+    from g2o_frontend_tpu.parallel.sharded_pose_graph3d import optimize_se3_sharded
+    from g2o_frontend_tpu.solvers import pose_graph as pg
+
+    path = "/root/reference/datasets/2D/graphSE3.g2o"
+    if not os.path.isfile(path):
+        import pytest
+
+        pytest.skip("dataset missing")
+    log = read_g2o(path)
+    g, _ = graph3d_from_log(log)
+    g_ref, stats = pg.optimize_se3(g, iters=4, cg_iters=40)
+    mesh = make_mesh(8)
+    g_sh, trace = optimize_se3_sharded(g, mesh, iters=4, cg_iters=40)
+    r = float(np.asarray(stats.chi2)[-1])
+    s = float(np.asarray(trace)[-1])
+    assert abs(s - r) / max(r, 1e-9) < 0.05, (r, s)
