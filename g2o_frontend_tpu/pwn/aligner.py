@@ -69,6 +69,48 @@ class AlignerConfig:
     association: str = "gather"
 
 
+class SE3Prior(NamedTuple):
+    """Gaussian prior on the transform being estimated (``se3_prior.h:28-107``).
+
+    The reference's two variants both reduce to an error
+    ``e(invT) = t2v(invT @ mean_matrix)`` with a constant mean matrix:
+    relative prior -> ``mean_matrix = priorMean`` (``se3_prior.cpp:59``),
+    absolute prior -> ``mean_matrix = referenceTransform^-1 @ priorMean``
+    (``se3_prior.cpp:69``). Jacobians are exact forward-mode derivatives
+    through the quaternion chart instead of the reference's central
+    differences (``se3_prior.cpp:8-46``).
+    """
+
+    mean: jnp.ndarray  # (4, 4) the constant mean matrix M above
+    information: jnp.ndarray  # (6, 6) prior information in the chart at M
+
+
+def absolute_prior(reference_transform, prior_mean, information) -> SE3Prior:
+    """`SE3AbsolutePrior` (``se3_prior.h:85-106``) as an `SE3Prior`."""
+    return SE3Prior(lie.se3_inverse(reference_transform) @ prior_mean,
+                    jnp.asarray(information))
+
+
+def _prior_system(prior: SE3Prior, invT):
+    """H, b contributions of one prior at invT (``aligner.cpp:96-108``)."""
+    e = lie.se3_t2v(invT @ prior.mean)
+
+    def err_left(eps):  # perturbation of the estimate: v2t(eps) * invT
+        return lie.se3_t2v(lie.se3_v2t(eps) @ invT @ prior.mean)
+
+    def err_mean(eps):  # perturbation of the prior mean: M * v2t(eps)
+        return lie.se3_t2v(invT @ prior.mean @ lie.se3_v2t(eps))
+
+    zero = jnp.zeros(6, invT.dtype)
+    J = jax.jacfwd(err_left)(zero)
+    Jz = jax.jacfwd(err_mean)(zero)
+    # information remapped into the error space: Jz^-T Omega Jz^-1
+    iJz = jnp.linalg.inv(Jz)
+    omega_e = iJz.T @ prior.information @ iJz
+    JtO = J.T @ omega_e
+    return JtO @ J, JtO @ e
+
+
 class AlignResult(NamedTuple):
     T: jnp.ndarray  # (4, 4) current -> reference transform (reference `_T`)
     mean: jnp.ndarray  # (6,) t2v mean of the solution distribution
@@ -282,12 +324,17 @@ def align(
     projector: PinholeProjector,
     initial_guess=None,
     config: AlignerConfig = AlignerConfig(),
+    priors: SE3Prior | None = None,
 ) -> AlignResult:
     """Estimate T (current -> reference) between two clouds.
 
     The outer loop is a `lax.fori_loop` over `outer_iterations`; each body
     re-projects the reference (z-buffer), recomputes gated correspondences,
     runs `inner_iterations` Gauss-Newton updates, all on-chip.
+
+    `priors` optionally adds Gaussian transform priors to every Gauss-Newton
+    system (``aligner.cpp:96-108``); pass an `SE3Prior` with leading batch
+    dims for multiple priors.
     """
     cfg = config
     dtype = reference.points.dtype
@@ -297,12 +344,24 @@ def align(
         _correspondences_gather if cfg.association == "gather" else _correspondences
     )
 
+    def add_priors(H, b, invT):
+        if priors is None:
+            return H, b
+        if priors.mean.ndim == 2:
+            Hp, bp = _prior_system(priors, invT)
+            return H + Hp, b + bp
+        Hp, bp = jax.vmap(lambda m, o: _prior_system(SE3Prior(m, o), invT))(
+            priors.mean, priors.information
+        )
+        return H + jnp.sum(Hp, 0), b + jnp.sum(bp, 0)
+
     def outer(i, invT):
         mask, ref_pts, ref_nrm = assoc(reference, current, invT, projector, cfg)
 
         def inner(k, invT):
             H, b, _, _ = _linearize(mask, ref_pts, ref_nrm, current, invT, cfg)
             H = H + cfg.damping * jnp.eye(6, dtype=dtype)
+            H, b = add_priors(H, b, invT)
             dx = jnp.linalg.solve(H, -b)
             dT = lie.se3_v2t(dx)
             return dT @ invT

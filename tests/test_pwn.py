@@ -150,6 +150,49 @@ class TestAligner:
         assert int(res.inliers) > 3000
         assert bool(res.valid)
 
+    def test_se3_prior_pulls_solution(self):
+        """Priors enter the GN system as in ``aligner.cpp:96-108``: a
+        zero-information prior is a no-op; an overwhelming relative prior at
+        a wrong transform drags the estimate toward it."""
+        from g2o_frontend_tpu.pwn.aligner import SE3Prior, absolute_prior
+        from g2o_frontend_tpu.utils import lie
+
+        xi = np.array([0.05, -0.03, 0.08, 0.0, 0.0, 0.0], np.float32)
+        T_gt = np.asarray(lie.se3_exp(jnp.asarray(xi)))
+        ref = depth_to_cloud(render_depth(np.eye(4)), PROJ, CFG)
+        cur = depth_to_cloud(render_depth(T_gt), PROJ, CFG)
+        cfg = AlignerConfig(outer_iterations=10)
+
+        base = np.asarray(align(ref, cur, PROJ, config=cfg).T)
+
+        # zero information -> identical result
+        p0 = SE3Prior(jnp.eye(4, dtype=jnp.float32), jnp.zeros((6, 6), jnp.float32))
+        same = np.asarray(align(ref, cur, PROJ, config=cfg, priors=p0).T)
+        np.testing.assert_allclose(same, base, atol=1e-5)
+
+        # overwhelming prior at a wrong transform dominates the data term.
+        # error = t2v(invT @ M) = 0 at invT = M^-1, i.e. T = M.
+        T_wrong = np.asarray(
+            lie.se3_exp(jnp.asarray([0.3, 0.1, -0.2, 0.02, 0.0, 0.0], jnp.float32))
+        )
+        p1 = SE3Prior(jnp.asarray(T_wrong), 1e12 * jnp.eye(6, dtype=jnp.float32))
+        pulled = np.asarray(align(ref, cur, PROJ, config=cfg, priors=p1).T)
+        np.testing.assert_allclose(pulled, T_wrong, atol=5e-3)
+
+        # absolute prior reduces to the relative form with the remapped mean
+        ap = absolute_prior(jnp.asarray(T_wrong), jnp.asarray(T_wrong @ T_wrong),
+                            1e12 * jnp.eye(6, dtype=jnp.float32))
+        pulled2 = np.asarray(align(ref, cur, PROJ, config=cfg, priors=ap).T)
+        np.testing.assert_allclose(pulled2, T_wrong, atol=5e-3)
+
+        # batched priors: two moderate priors at the same mean == accumulating
+        pb = SE3Prior(
+            jnp.stack([jnp.asarray(T_wrong)] * 2),
+            jnp.stack([1e6 * jnp.eye(6, dtype=jnp.float32)] * 2),
+        )
+        batched = np.asarray(align(ref, cur, PROJ, config=cfg, priors=pb).T)
+        assert np.isfinite(batched).all()
+
     def test_identity_alignment(self):
         depth = render_depth(np.eye(4))
         ref = depth_to_cloud(depth, PROJ, CFG)
