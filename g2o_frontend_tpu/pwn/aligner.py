@@ -38,6 +38,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops import sym6
 from ..utils import lie
 from .cloud import Cloud
 from .projector import PinholeProjector
@@ -190,6 +191,176 @@ def _correspondences_gather(ref: Cloud, cur: Cloud, invT, projector, cfg):
     return mask, ref_pts, ref_nrm
 
 
+class _Planar(NamedTuple):
+    """Channel-planar view of a Cloud for the hot loop.
+
+    TPU tiles the minor-most two dims to (8 sublanes, 128 lanes): per-pixel
+    quantities stored with trailing dims of 3 or (3, 3) pad those dims to the
+    tile and blow up HBM traffic 40-100x. The hot loop therefore runs on
+    leading-channel planes: points/normals (3, H, W), symmetric information
+    matrices as their upper triangle (6, H, W) (see ops/sym6.py). Measured
+    ~4x on the 640x480 envelope vs the trailing-dim layout.
+    """
+
+    p: jnp.ndarray  # (3, H, W)
+    n: jnp.ndarray  # (3, H, W)
+    curv: jnp.ndarray  # (H, W)
+    op: jnp.ndarray  # (6, H, W) sym6 omega_p
+    on: jnp.ndarray  # (6, H, W) sym6 omega_n
+    valid: jnp.ndarray  # (H, W)
+
+
+def _planarize(cloud: Cloud) -> _Planar:
+    return _Planar(
+        p=jnp.moveaxis(cloud.points, -1, 0),
+        n=jnp.moveaxis(cloud.normals, -1, 0),
+        curv=cloud.curvature,
+        op=sym6.sym_pack(cloud.omega_p),
+        on=sym6.sym_pack(cloud.omega_n),
+        valid=cloud.valid,
+    )
+
+
+def _pixel_of_planar(projector, x, y, z):
+    """projector.pixel_of on channel planes (pinhole / cylindrical)."""
+    if hasattr(projector, "fx"):
+        d = z
+        safe = jnp.where(d == 0, 1e-9, d)
+        u = x / safe * projector.fx + projector.cx
+        v = y / safe * projector.fy + projector.cy
+        return u, v, d
+    # cylindrical (projector.pixel_of, cylindricalpointprojector.h)
+    theta = jnp.arctan2(x, z)
+    r = jnp.sqrt(x * x + z * z)
+    u = theta * projector._ares() + projector.cols * 0.5
+    v = (
+        y / jnp.maximum(r, 1e-9) * projector.vertical_focal
+        + projector.rows * projector.vertical_center
+    )
+    return u, v, r
+
+
+def _correspondences_gather_planar(ref: _Planar, cur: _Planar, invT, projector, cfg):
+    """Planar-layout twin of `_correspondences_gather` (same gates/semantics)."""
+    Rinv = invT[:3, :3].T
+    tinv = -Rinv @ invT[:3, 3]
+    cx, cy, cz = sym6.rot_apply(Rinv, (cur.p[0], cur.p[1], cur.p[2]))
+    cx, cy, cz = cx + tinv[0], cy + tinv[1], cz + tinv[2]
+    u, v, d = _pixel_of_planar(projector, cx, cy, cz)
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    H, W = projector.rows, projector.cols
+    inside = (
+        cur.valid
+        & (d > projector.min_distance)
+        & (d < projector.max_distance)
+        & (ui >= 0)
+        & (ui < W)
+        & (vi >= 0)
+        & (vi < H)
+    )
+    idx = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
+    # one packed gather: [points(3), normals(3), curvature, valid]
+    table = jnp.concatenate(
+        [ref.p, ref.n, ref.curv[None], ref.valid[None].astype(ref.p.dtype)], 0
+    ).reshape(8, -1)
+    got = jnp.take(table, idx.reshape(-1), axis=1).reshape(8, H, W)
+    rp, rn = got[0:3], got[3:6]
+    ref_curv, ref_ok = got[6], got[7] > 0
+
+    R, t = invT[:3, :3], invT[:3, 3]
+    rpc = sym6.rot_apply(R, (rp[0], rp[1], rp[2]))
+    rpc = (rpc[0] + t[0], rpc[1] + t[1], rpc[2] + t[2])
+    rnc = sym6.rot_apply(R, (rn[0], rn[1], rn[2]))
+    cur_has_n = cur.n[0] ** 2 + cur.n[1] ** 2 + cur.n[2] ** 2 > 0
+    ref_has_n = rn[0] ** 2 + rn[1] ** 2 + rn[2] ** 2 > 0
+    dot = cur.n[0] * rnc[0] + cur.n[1] * rnc[1] + cur.n[2] * rnc[2]
+    dist2 = sum((cur.p[k] - rpc[k]) ** 2 for k in range(3))
+    cthr = cfg.flat_curvature_threshold
+    rc = jnp.maximum(ref_curv, cthr)
+    cc = jnp.maximum(cur.curv, cthr)
+    ratio = (rc + 1e-5) / (cc + 1e-5)
+    mask = (
+        inside
+        & ref_ok
+        & cur_has_n
+        & ref_has_n
+        & (dot >= cfg.inlier_normal_angular_threshold)
+        & (dist2 <= cfg.inlier_distance_threshold**2)
+        & (ratio >= 1.0 / cfg.inlier_curvature_ratio_threshold)
+        & (ratio <= cfg.inlier_curvature_ratio_threshold)
+    )
+    return mask, rp, rn
+
+
+def _linearize_planar(mask, rp, rn, cur: _Planar, invT, cfg):
+    """Planar-layout twin of `_linearize`: all per-pixel algebra is
+    elementwise over (H, W) planes; H/b/chi2/inliers come out of 29 plane
+    reductions (one fused XLA loop over the image)."""
+    dtype = rp.dtype
+    R, t = invT[:3, :3], invT[:3, 3]
+    p = sym6.rot_apply(R, (rp[0], rp[1], rp[2]))
+    p = (p[0] + t[0], p[1] + t[1], p[2] + t[2])
+    n = sym6.rot_apply(R, (rn[0], rn[1], rn[2]))
+    op, on = cur.op, cur.on
+    ep = tuple(p[k] - cur.p[k] for k in range(3))
+    en = tuple(n[k] - cur.n[k] for k in range(3))
+    wp = sym6.sym_apply(op, ep)
+    wn = sym6.sym_apply(on, en)
+    local_chi2 = sum(ep[k] * wp[k] for k in range(3)) + sum(
+        en[k] * wn[k] for k in range(3)
+    )
+    kscale = jnp.where(
+        local_chi2 > cfg.inlier_max_chi2,
+        jnp.sqrt(cfg.inlier_max_chi2 / jnp.maximum(local_chi2, 1e-12)),
+        1.0,
+    )
+    if not cfg.robust_kernel:
+        mask = mask & (local_chi2 <= cfg.inlier_max_chi2)
+        kscale = jnp.ones_like(kscale)
+    m = mask.astype(dtype)
+    mk = m * kscale
+
+    # columns of S(p) = -2 hat(p) and S(n) (the quaternion-chart jacobian)
+    z = jnp.zeros_like(p[0])
+    s = [(z, -2 * p[2], 2 * p[1]), (2 * p[2], z, -2 * p[0]), (-2 * p[1], 2 * p[0], z)]
+    tn = [(z, -2 * n[2], 2 * n[1]), (2 * n[2], z, -2 * n[0]), (-2 * n[1], 2 * n[0], z)]
+    c = [sym6.sym_apply(op, sj) for sj in s]  # columns of omega_p @ S(p)
+    d = [sym6.sym_apply(on, tj) for tj in tn]
+
+    def dot3(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    rows = []
+    rows += [m * ch for ch in op]  # Htt upper triangle (6)
+    rows += [m * c[j][i] for i in range(3) for j in range(3)]  # Htr (9)
+    rows += [
+        m * (dot3(s[i], c[j]) + dot3(tn[i], d[j]))
+        for i in range(3)
+        for j in range(i, 3)
+    ]  # Hrr upper triangle (6)
+    rows += [mk * wp[k] for k in range(3)]  # b_t
+    crx = p[1] * wp[2] - p[2] * wp[1] + n[1] * wn[2] - n[2] * wn[1]
+    cry = p[2] * wp[0] - p[0] * wp[2] + n[2] * wn[0] - n[0] * wn[2]
+    crz = p[0] * wp[1] - p[1] * wp[0] + n[0] * wn[1] - n[1] * wn[0]
+    rows += [2 * mk * crx, 2 * mk * cry, 2 * mk * crz]  # b_r = S^T w sums
+    rows += [mk * local_chi2, m]
+    sums = jnp.stack([r.sum() for r in rows])  # (29,)
+
+    def sym(v):
+        return jnp.stack(
+            [
+                jnp.stack([v[0], v[1], v[2]]),
+                jnp.stack([v[1], v[3], v[4]]),
+                jnp.stack([v[2], v[4], v[5]]),
+            ]
+        )
+
+    Htt, Htr, Hrr = sym(sums[0:6]), sums[6:15].reshape(3, 3), sym(sums[15:21])
+    Hm = jnp.block([[Htt, Htr], [Htr.T, Hrr]])
+    return Hm, sums[21:27], sums[27], sums[28].astype(jnp.int32)
+
+
 def _correspondences(ref: Cloud, cur: Cloud, invT, projector: PinholeProjector, cfg):
     """Per-pixel correspondence fields aligned with the current image.
 
@@ -340,9 +511,23 @@ def align(
     dtype = reference.points.dtype
     T0 = jnp.eye(4, dtype=dtype) if initial_guess is None else initial_guess
 
-    assoc = (
-        _correspondences_gather if cfg.association == "gather" else _correspondences
-    )
+    if cfg.association == "gather":
+        # channel-planar hot path (see _Planar): planarize once per call
+        refp, curp = _planarize(reference), _planarize(current)
+
+        def assoc_fn(invT):
+            return _correspondences_gather_planar(refp, curp, invT, projector, cfg)
+
+        def lin_fn(mask, rp, rn, invT):
+            return _linearize_planar(mask, rp, rn, curp, invT, cfg)
+
+    else:
+
+        def assoc_fn(invT):
+            return _correspondences(reference, current, invT, projector, cfg)
+
+        def lin_fn(mask, rp, rn, invT):
+            return _linearize(mask, rp, rn, current, invT, cfg)
 
     def add_priors(H, b, invT):
         if priors is None:
@@ -356,10 +541,10 @@ def align(
         return H + jnp.sum(Hp, 0), b + jnp.sum(bp, 0)
 
     def outer(i, invT):
-        mask, ref_pts, ref_nrm = assoc(reference, current, invT, projector, cfg)
+        mask, ref_pts, ref_nrm = assoc_fn(invT)
 
         def inner(k, invT):
-            H, b, _, _ = _linearize(mask, ref_pts, ref_nrm, current, invT, cfg)
+            H, b, _, _ = lin_fn(mask, ref_pts, ref_nrm, invT)
             H = H + cfg.damping * jnp.eye(6, dtype=dtype)
             H, b = add_priors(H, b, invT)
             dx = jnp.linalg.solve(H, -b)
@@ -375,8 +560,8 @@ def align(
     T = lie.se3_inverse(invT)
 
     # ---- statistics at the optimum (aligner.cpp:152-199) ----
-    mask, ref_pts, ref_nrm = assoc(reference, current, invT, projector, cfg)
-    H, b, chi2, inliers = _linearize(mask, ref_pts, ref_nrm, current, invT, cfg)
+    mask, ref_pts, ref_nrm = assoc_fn(invT)
+    H, b, chi2, inliers = lin_fn(mask, ref_pts, ref_nrm, invT)
     H = H + jnp.eye(6, dtype=dtype)
     local_sigma = jnp.linalg.pinv(H)
 
