@@ -14,7 +14,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["eigh3x3", "eigvals3x3", "smallest_eigenvector3x3"]
+__all__ = [
+    "eigh3x3",
+    "eigvals3x3",
+    "smallest_eigenvector3x3",
+    "eigvals3x3_planar",
+    "eigh3x3_planar",
+]
 
 _EPS = 1e-12
 
@@ -123,3 +129,96 @@ def eigh3x3(A):
     v2 = jnp.cross(v0, v1)
     V = jnp.stack([v0, v1, v2], axis=-1)
     return lam, V
+
+
+# ---- channel-planar variants (sym6 layout: (6, ...) upper triangle) --------
+# Same math as above, but all per-pixel quantities are leading-channel
+# planes — the TPU-friendly layout (see ops/sym6.py): no trailing dims of
+# 3/(3,3) are ever materialized.
+
+
+def _cross_t(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _dot_t(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def eigvals3x3_planar(o):
+    """Eigenvalues of sym6 channels (6, ...) -> 3 ascending scalar planes."""
+    xx, xy, xz, yy, yz, zz = (o[k] for k in range(6))
+    q = (xx + yy + zz) / 3.0
+    b00, b11, b22 = xx - q, yy - q, zz - q
+    p2 = (b00 * b00 + b11 * b11 + b22 * b22) / 6.0 + (
+        xy * xy + xz * xz + yz * yz
+    ) / 3.0
+    p = jnp.sqrt(p2 + _EPS)
+    detB = (
+        b00 * (b11 * b22 - yz * yz)
+        - xy * (xy * b22 - yz * xz)
+        + xz * (xy * yz - b11 * xz)
+    )
+    r = jnp.clip(detB / (2.0 * p * p * p + _EPS), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e_hi = q + 2.0 * p * jnp.cos(phi)
+    e_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e_mid = 3.0 * q - e_hi - e_lo
+    return e_lo, e_mid, e_hi
+
+
+def _eigenvector_for_planar(o, lam, fallback):
+    """Null direction of (A - lam I) via row cross products, channel-planar."""
+    xx, xy, xz, yy, yz, zz = (o[k] for k in range(6))
+    r0 = (xx - lam, xy, xz)
+    r1 = (xy, yy - lam, yz)
+    r2 = (xz, yz, zz - lam)
+    c01 = _cross_t(r0, r1)
+    c02 = _cross_t(r0, r2)
+    c12 = _cross_t(r1, r2)
+    n01 = _dot_t(c01, c01)
+    n02 = _dot_t(c02, c02)
+    n12 = _dot_t(c12, c12)
+    sel = n01 >= n02
+    v = tuple(jnp.where(sel, a, b) for a, b in zip(c01, c02))
+    nbest = jnp.maximum(n01, n02)
+    sel2 = n12 > nbest
+    v = tuple(jnp.where(sel2, a, b) for a, b in zip(c12, v))
+    nrm = jnp.sqrt(_dot_t(v, v))
+    ok = nrm > 1e-10
+    inv = 1.0 / jnp.maximum(nrm, _EPS)
+    return tuple(jnp.where(ok, vk * inv, fk) for vk, fk in zip(v, fallback))
+
+
+def eigh3x3_planar(o):
+    """Full decomposition of sym6 channels (6, ...).
+
+    Returns (lam, V_cols): lam = 3 ascending eigenvalue planes; V_cols =
+    three 3-channel eigenvector tuples (right-handed orthonormal frame).
+    """
+    lam = eigvals3x3_planar(o)
+    z = jnp.zeros_like(o[0])
+    one = jnp.ones_like(o[0])
+    ez = (z, z, one)
+    ex = (one, z, z)
+    v0 = _eigenvector_for_planar(o, lam[0], ez)
+    v1 = _eigenvector_for_planar(o, lam[1], ex)
+    # orthogonalize v1 against v0, with a degenerate-case fallback
+    d = _dot_t(v1, v0)
+    v1 = tuple(v1[k] - d * v0[k] for k in range(3))
+    n1 = jnp.sqrt(_dot_t(v1, v1))
+    alt = _cross_t(v0, ez)
+    alt_n = jnp.sqrt(_dot_t(alt, alt))
+    alt2 = _cross_t(v0, ex)
+    alt = tuple(jnp.where(alt_n > 1e-6, a, b) for a, b in zip(alt, alt2))
+    alt_inv = 1.0 / jnp.maximum(jnp.sqrt(_dot_t(alt, alt)), _EPS)
+    alt = tuple(a * alt_inv for a in alt)
+    ok1 = n1 > 1e-6
+    inv1 = 1.0 / jnp.maximum(n1, _EPS)
+    v1 = tuple(jnp.where(ok1, v1[k] * inv1, alt[k]) for k in range(3))
+    v2 = _cross_t(v0, v1)
+    return lam, (v0, v1, v2)

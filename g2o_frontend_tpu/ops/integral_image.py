@@ -141,3 +141,94 @@ def window_moments(points, valid, radii, levels=None):
         axis=-2,
     ) / n_safe[..., None, None] - jnp.einsum("...i,...j->...ij", m, m)
     return n, mean, cov
+
+
+# ---- channel-planar variants ((C, H, W) leading channels) ------------------
+# The trailing-channel versions above materialize (H, W, C) tables whose
+# minor dims pad to the (8, 128) TPU tile; the planar twins below keep every
+# channel a well-tiled (H, W) plane.
+
+
+def integral_image_planar(x):
+    """(C, H, W) -> (C, H+1, W+1) summed-area table (leading zero row/col)."""
+    s = jnp.cumsum(jnp.cumsum(x, axis=1), axis=2)
+    return jnp.pad(s, ((0, 0), (1, 0), (1, 0)))
+
+
+def window_sums_fixed_planar(I, r: int):
+    """Clamped-window sums for a static radius, planar twin of
+    `window_sums_fixed`: four statically-shifted slices of the edge-padded
+    table — pure VPU adds."""
+    H, W = I.shape[1] - 1, I.shape[2] - 1
+    Ip = jnp.pad(I, ((0, 0), (r, r), (r, r)), mode="edge")
+    s = 2 * r + 1
+    c1 = Ip[:, s : s + H, s : s + W]
+    c2 = Ip[:, 0:H, s : s + W]
+    c3 = Ip[:, s : s + H, 0:W]
+    c4 = Ip[:, 0:H, 0:W]
+    return c1 - c2 - c3 + c4
+
+
+def window_sums_quantized_planar(I, radii, levels):
+    """Planar twin of `window_sums_quantized` (radii quantized to static
+    levels, smallest level >= requested)."""
+    levels = tuple(sorted(int(l) for l in levels))
+    stack = [window_sums_fixed_planar(I, r) for r in levels]
+    r = jnp.asarray(radii)
+    out = stack[-1]
+    for lev, S in zip(levels[-2::-1], stack[-2::-1]):
+        out = jnp.where((r <= lev)[None], S, out)
+    return out
+
+
+def window_moments_planar(p, valid, radii, levels=None):
+    """Planar twin of `window_moments`.
+
+    Args:
+      p: (3, H, W) unprojected 3D points (channel planes).
+      valid: (H, W) bool.
+      radii: per-pixel (H, W) or scalar half-window.
+      levels: static radius levels (see `window_sums_quantized`).
+
+    Returns:
+      (count (H, W), mean (3, H, W), cov6 (6, H, W)) — cov6 is the sym6
+      upper triangle of the sample covariance.
+    """
+    v = valid.astype(p.dtype)
+    pm = p * v[None]
+    acc = jnp.stack(
+        [
+            v,
+            pm[0],
+            pm[1],
+            pm[2],
+            pm[0] * p[0],
+            pm[0] * p[1],
+            pm[0] * p[2],
+            pm[1] * p[1],
+            pm[1] * p[2],
+            pm[2] * p[2],
+        ]
+    )  # (10, H, W)
+    I = integral_image_planar(acc)
+    if levels is not None:
+        S = window_sums_quantized_planar(I, radii, levels)
+    else:
+        # exact per-pixel radii need a 4-corner gather; reuse the
+        # trailing-layout path (rare: levels=None is the parity mode)
+        S = jnp.moveaxis(window_sums(jnp.moveaxis(I, 0, -1), radii), -1, 0)
+    n = S[0]
+    n_safe = jnp.maximum(n, 1.0)
+    mean = S[1:4] / n_safe[None]
+    m0, m1, m2 = mean[0], mean[1], mean[2]
+    cov6 = jnp.stack(
+        [
+            S[4] / n_safe - m0 * m0,
+            S[5] / n_safe - m0 * m1,
+            S[6] / n_safe - m0 * m2,
+            S[7] / n_safe - m1 * m1,
+            S[8] / n_safe - m1 * m2,
+            S[9] / n_safe - m2 * m2,
+        ]
+    )
+    return n, mean, cov6

@@ -123,104 +123,6 @@ class AlignResult(NamedTuple):
     valid: jnp.ndarray  # () bool (eigenratio + min-inlier gates)
 
 
-def _correspondences_gather(ref: Cloud, cur: Cloud, invT, projector, cfg):
-    """Gather-based projective association (the TPU-fast default).
-
-    For every *current* pixel: map its point into the reference frame
-    (T = invT^-1), project into the reference image, and fetch the reference
-    point/normal/curvature stored at that pixel — one packed 2D gather, no
-    scatter. This is the KinectFusion-style inversion of the reference's
-    render-the-reference z-buffer association
-    (``correspondencefinder.cpp:20-118``): behaviorally equivalent under the
-    same gates (the distance gate subsumes occlusion rejection), but maps to
-    a single vectorized gather instead of two scatters + gather.
-    """
-    Rinv = invT[:3, :3].T
-    tinv = -Rinv @ invT[:3, 3]
-    cur_in_ref = jnp.einsum("ij,hwj->hwi", Rinv, cur.points) + tinv
-    u, v, d = projector.pixel_of(cur_in_ref)
-    ui = jnp.round(u).astype(jnp.int32)
-    vi = jnp.round(v).astype(jnp.int32)
-    H, W = projector.rows, projector.cols
-    inside = (
-        cur.valid
-        & (d > projector.min_distance)
-        & (d < projector.max_distance)
-        & (ui >= 0)
-        & (ui < W)
-        & (vi >= 0)
-        & (vi < H)
-    )
-    ui = jnp.clip(ui, 0, W - 1)
-    vi = jnp.clip(vi, 0, H - 1)
-    # one packed gather: [points(3), normals(3), curvature, valid]
-    packed = jnp.concatenate(
-        [
-            ref.points,
-            ref.normals,
-            ref.curvature[..., None],
-            ref.valid[..., None].astype(ref.points.dtype),
-        ],
-        axis=-1,
-    )
-    got = packed[vi, ui]
-    ref_pts, ref_nrm = got[..., 0:3], got[..., 3:6]
-    ref_curv, ref_ok = got[..., 6], got[..., 7] > 0
-
-    R, t = invT[:3, :3], invT[:3, 3]
-    ref_pts_cur = jnp.einsum("ij,hwj->hwi", R, ref_pts) + t
-    ref_nrm_cur = jnp.einsum("ij,hwj->hwi", R, ref_nrm)
-    cur_has_n = jnp.sum(cur.normals * cur.normals, -1) > 0
-    ref_has_n = jnp.sum(ref_nrm * ref_nrm, -1) > 0
-    dot = jnp.sum(cur.normals * ref_nrm_cur, -1)
-    dist2 = jnp.sum((cur.points - ref_pts_cur) ** 2, -1)
-    cthr = cfg.flat_curvature_threshold
-    rc = jnp.maximum(ref_curv, cthr)
-    cc = jnp.maximum(cur.curvature, cthr)
-    ratio = (rc + 1e-5) / (cc + 1e-5)
-    mask = (
-        inside
-        & ref_ok
-        & cur_has_n
-        & ref_has_n
-        & (dot >= cfg.inlier_normal_angular_threshold)
-        & (dist2 <= cfg.inlier_distance_threshold**2)
-        & (ratio >= 1.0 / cfg.inlier_curvature_ratio_threshold)
-        & (ratio <= cfg.inlier_curvature_ratio_threshold)
-    )
-    return mask, ref_pts, ref_nrm
-
-
-class _Planar(NamedTuple):
-    """Channel-planar view of a Cloud for the hot loop.
-
-    TPU tiles the minor-most two dims to (8 sublanes, 128 lanes): per-pixel
-    quantities stored with trailing dims of 3 or (3, 3) pad those dims to the
-    tile and blow up HBM traffic 40-100x. The hot loop therefore runs on
-    leading-channel planes: points/normals (3, H, W), symmetric information
-    matrices as their upper triangle (6, H, W) (see ops/sym6.py). Measured
-    ~4x on the 640x480 envelope vs the trailing-dim layout.
-    """
-
-    p: jnp.ndarray  # (3, H, W)
-    n: jnp.ndarray  # (3, H, W)
-    curv: jnp.ndarray  # (H, W)
-    op: jnp.ndarray  # (6, H, W) sym6 omega_p
-    on: jnp.ndarray  # (6, H, W) sym6 omega_n
-    valid: jnp.ndarray  # (H, W)
-
-
-def _planarize(cloud: Cloud) -> _Planar:
-    return _Planar(
-        p=jnp.moveaxis(cloud.points, -1, 0),
-        n=jnp.moveaxis(cloud.normals, -1, 0),
-        curv=cloud.curvature,
-        op=sym6.sym_pack(cloud.omega_p),
-        on=sym6.sym_pack(cloud.omega_n),
-        valid=cloud.valid,
-    )
-
-
 def _pixel_of_planar(projector, x, y, z):
     """projector.pixel_of on channel planes (pinhole / cylindrical)."""
     if hasattr(projector, "fx"):
@@ -240,8 +142,19 @@ def _pixel_of_planar(projector, x, y, z):
     return u, v, r
 
 
-def _correspondences_gather_planar(ref: _Planar, cur: _Planar, invT, projector, cfg):
-    """Planar-layout twin of `_correspondences_gather` (same gates/semantics)."""
+def _correspondences_gather(ref: Cloud, cur: Cloud, invT, projector, cfg):
+    """Gather-based projective association (the TPU-fast default).
+
+    For every *current* pixel: map its point into the reference frame
+    (T = invT^-1), project into the reference image, and fetch the reference
+    point/normal/curvature stored at that pixel — one packed 2D gather, no
+    scatter. This is the KinectFusion-style inversion of the reference's
+    render-the-reference z-buffer association
+    (``correspondencefinder.cpp:20-118``): behaviorally equivalent under the
+    same gates (the distance gate subsumes occlusion rejection), but maps to
+    a single vectorized gather instead of two scatters + gather. All math is
+    channel-planar (Cloud storage layout).
+    """
     Rinv = invT[:3, :3].T
     tinv = -Rinv @ invT[:3, 3]
     cx, cy, cz = sym6.rot_apply(Rinv, (cur.p[0], cur.p[1], cur.p[2]))
@@ -293,7 +206,7 @@ def _correspondences_gather_planar(ref: _Planar, cur: _Planar, invT, projector, 
     return mask, rp, rn
 
 
-def _linearize_planar(mask, rp, rn, cur: _Planar, invT, cfg):
+def _linearize_planar(mask, rp, rn, cur: Cloud, invT, cfg):
     """Planar-layout twin of `_linearize`: all per-pixel algebra is
     elementwise over (H, W) planes; H/b/chi2/inliers come out of 29 plane
     reductions (one fused XLA loop over the image)."""
@@ -512,14 +425,13 @@ def align(
     T0 = jnp.eye(4, dtype=dtype) if initial_guess is None else initial_guess
 
     if cfg.association == "gather":
-        # channel-planar hot path (see _Planar): planarize once per call
-        refp, curp = _planarize(reference), _planarize(current)
+        # channel-planar hot path (the Cloud storage layout)
 
         def assoc_fn(invT):
-            return _correspondences_gather_planar(refp, curp, invT, projector, cfg)
+            return _correspondences_gather(reference, current, invT, projector, cfg)
 
         def lin_fn(mask, rp, rn, invT):
-            return _linearize_planar(mask, rp, rn, curp, invT, cfg)
+            return _linearize_planar(mask, rp, rn, current, invT, cfg)
 
     else:
 

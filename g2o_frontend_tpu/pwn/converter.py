@@ -26,8 +26,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.eigh3x3 import eigh3x3
-from ..ops.integral_image import window_moments
+from ..ops import sym6
+from ..ops.eigh3x3 import eigh3x3_planar
+from ..ops.integral_image import window_moments_planar
 from .cloud import Cloud
 from .projector import PinholeProjector
 
@@ -64,6 +65,7 @@ def depth_to_cloud(
     """Convert a (H, W) depth image to an image-organized Cloud."""
     cfg = config
     points, valid = projector.unproject(depth)
+    p = jnp.moveaxis(points, -1, 0)  # (3, H, W) channel planes
 
     radii = projector.project_intervals(depth, cfg.world_radius)
     radii = jnp.clip(radii, cfg.min_image_radius, cfg.max_image_radius)
@@ -80,45 +82,46 @@ def depth_to_cloud(
                 }
             )
         )
-    n, mean, cov = window_moments(points, valid, radii, levels=levels)
+    n, mean, cov6 = window_moments_planar(p, valid, radii, levels=levels)
     enough = valid & (n >= cfg.min_points)
 
-    lam, V = eigh3x3(cov)
-    lam = jnp.maximum(lam, 0.0)
-    normal = V[..., :, 0]  # smallest-eigenvalue direction
+    lam, V = eigh3x3_planar(cov6)  # 3 eigenvalue planes, 3 column tuples
+    lam = tuple(jnp.maximum(l, 0.0) for l in lam)
+    v0 = V[0]  # smallest-eigenvalue direction = surface normal
     # flip toward the viewpoint (camera at origin): n . p < 0
-    flip = jnp.sum(normal * points, axis=-1) > 0
-    normal = jnp.where(flip[..., None], -normal, normal)
+    flip = v0[0] * p[0] + v0[1] * p[1] + v0[2] * p[2] > 0
+    sgn = jnp.where(flip, -1.0, 1.0)
+    normal = tuple(sgn * v0[k] for k in range(3))
     # (omega = U diag U^T is invariant to eigenvector sign; V left as-is)
 
-    curv = lam[..., 0] / jnp.maximum(lam[..., 0] + lam[..., 1] + lam[..., 2], 1e-12)
+    curv = lam[0] / jnp.maximum(lam[0] + lam[1] + lam[2], 1e-12)
     flat = curv < cfg.curvature_threshold
     has_normal = enough & flat  # reference zeroes normals on curved areas
-    normal = jnp.where(has_normal[..., None], normal, 0.0)
+    hn = has_normal.astype(depth.dtype)
+    normal = tuple(hn * nk for nk in normal)
 
     # point information matrices: U diag(info) U^T in the local frame
-    flat_diag = jnp.asarray(cfg.point_flat_info, depth.dtype)
-    inv_lam = 1.0 / jnp.maximum(lam, 1e-7)
-    diag = jnp.where(flat[..., None], flat_diag, inv_lam)
-    omega_p = jnp.einsum("...ij,...j,...kj->...ik", V, diag, V)
-    omega_p = jnp.where(has_normal[..., None, None], omega_p, 0.0)
-
-    nf = jnp.asarray(cfg.normal_flat_info, depth.dtype)
-    nn = jnp.asarray(cfg.normal_nonflat_info, depth.dtype)
-    omega_n_diag = jnp.where(flat[..., None], nf, nn)
-    omega_n = (
-        jnp.eye(3, dtype=depth.dtype) * omega_n_diag[..., None, :]
+    inv_lam = tuple(1.0 / jnp.maximum(l, 1e-7) for l in lam)
+    diag = tuple(
+        jnp.where(flat, cfg.point_flat_info[k], inv_lam[k]) for k in range(3)
     )
-    omega_n = jnp.where(has_normal[..., None, None], omega_n, 0.0)
+    omega_p = hn[None] * sym6.sym_from_diag_frame(V, diag)
 
+    # normal information: per-pixel diagonal (flat vs non-flat)
+    z = jnp.zeros_like(curv)
+    nf, nn = cfg.normal_flat_info, cfg.normal_nonflat_info
+    on_diag = tuple(jnp.where(flat, nf[k], nn[k]) * hn for k in range(3))
+    omega_n = jnp.stack([on_diag[0], z, z, on_diag[1], z, on_diag[2]])
+
+    eg = enough.astype(depth.dtype)
     cloud = Cloud(
-        points=points,
-        normals=normal,
-        curvature=jnp.where(enough, curv, 1.0),
-        eigenvalues=jnp.where(enough[..., None], lam, 0.0),
-        eigenvectors=V,
-        omega_p=omega_p,
-        omega_n=omega_n,
+        p=p,
+        n=jnp.stack(normal),
+        curv=jnp.where(enough, curv, 1.0),
+        ev=jnp.stack([eg * l for l in lam]),
+        evec=jnp.stack([V[k][i] for k in range(3) for i in range(3)]),
+        op=omega_p,
+        on=omega_n,
         valid=valid,
     )
     if sensor_offset is not None:

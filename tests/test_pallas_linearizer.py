@@ -27,6 +27,10 @@ def _fixture():
     cfg = AlignerConfig()
     invT = jnp.eye(4)
     mask, ref_pts, ref_nrm = _correspondences_gather(ref, cur, invT, proj, cfg)
+    # association returns channel-planar (3, H, W); the trailing-layout
+    # reference linearizer and the pallas packer expect (H, W, 3)
+    ref_pts = jnp.moveaxis(ref_pts, 0, -1)
+    ref_nrm = jnp.moveaxis(ref_nrm, 0, -1)
     return cfg, invT, mask, ref_pts, ref_nrm, cur
 
 
