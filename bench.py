@@ -81,22 +81,61 @@ def bench_pwn_aligner(device=None, H=480, W=640, reps=5):
         ccfg = ConverterConfig(min_image_radius=3, max_image_radius=8, min_points=12)
     acfg = AlignerConfig(outer_iterations=10, inner_iterations=1)
 
+    import jax.numpy as jnp
+
     ref = depth_to_cloud(d_ref, proj, ccfg)
     cur = depth_to_cloud(d_cur, proj, ccfg)
     res = align(ref, cur, proj, config=acfg)
     np.asarray(res.T)  # sync after compile
 
-    def pipelined(f, n):
-        """Queue n async calls, sync once — hides the tunnel's ~40 ms
-        per-call dispatch latency, matching steady-state pipelining."""
-        f()
-        t0 = time.perf_counter()
-        outs = [f() for _ in range(n)]
-        np.asarray(jax.tree_util.tree_leaves(outs[-1])[0])
-        return (time.perf_counter() - t0) / n
+    # On-device chained loops: each align warm-starts from the previous
+    # estimate (the tracker's steady-state pattern), each convert depends on
+    # the previous cloud. Two-point timing (n_hi - n_lo) cancels the
+    # tunnel's per-dispatch latency, leaving pure device throughput.
+    from functools import partial
 
-    dt_conv = pipelined(lambda: depth_to_cloud(d_cur, proj, ccfg), reps)
-    dt_align = pipelined(lambda: align(ref, cur, proj, config=acfg), reps)
+    @partial(jax.jit, static_argnames=("n",))
+    def align_chain(ref, cur, n):
+        # consume the statistics outputs too (omega/chi2/validity are
+        # per-frame production work; without this XLA would DCE them)
+        def body(i, T_guess):
+            r = align(ref, cur, proj, initial_guess=T_guess, config=acfg)
+            stats = (
+                jnp.sum(r.omega) + r.chi2 + r.inliers
+                + r.translational_ratio + r.rotational_ratio + jnp.sum(r.mean)
+            )
+            return r.T + (1e-30 * stats).astype(r.T.dtype)
+
+        return jax.lax.fori_loop(0, n, body, jnp.eye(4, dtype=ref.p.dtype))
+
+    @partial(jax.jit, static_argnames=("n",))
+    def convert_chain(depth, n):
+        # 1e-30*carry: numerically nil but a true loop-carried dependence,
+        # so XLA cannot hoist the convert out of the loop (0.0*carry folds).
+        # consume a reduction over EVERY field — consuming one element would
+        # let XLA dead-code-eliminate the pipeline down to a single pixel
+        def body(i, carry):
+            c = depth_to_cloud(depth + 1e-30 * carry, proj, ccfg)
+            return sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(c))
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    def two_point(chain_fn, *args, lo=2, hi=2 + 4 * reps, tries=3):
+        np.asarray(chain_fn(*args, n=lo))
+        np.asarray(chain_fn(*args, n=hi))
+        deltas = []
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            np.asarray(chain_fn(*args, n=lo))
+            t1 = time.perf_counter()
+            np.asarray(chain_fn(*args, n=hi))
+            t2 = time.perf_counter()
+            deltas.append(((t2 - t1) - (t1 - t0)) / (hi - lo))
+        return float(np.median(deltas))
+
+    dt_align = two_point(align_chain, ref, cur)
+    # convert is fast; a wide spread lifts the delta above dispatch jitter
+    dt_conv = two_point(convert_chain, d_cur, lo=5, hi=5 + 24 * reps)
     res = align(ref, cur, proj, config=acfg)
 
     T_est = np.asarray(res.T)
