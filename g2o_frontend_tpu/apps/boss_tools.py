@@ -79,12 +79,28 @@ def cmd_playback(args):
     return 0
 
 
+def cmd_to_se2(args):
+    """SE3 graph -> SE2 graph with laser data (toGraphSE2.cpp:38-158)."""
+    from ..io.g2o import read_g2o, se3_to_se2, write_g2o
+
+    log = read_g2o(args.graph)
+    out = se3_to_se2(log)
+    write_g2o(args.output, out)
+    print(json.dumps({"vertices": len(out.se2_ids), "edges": len(out.edge_se2_ij),
+                      "laser_scans": len(out.laser_scans), "output": args.output}))
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
     p = sub.add_parser("inspect")
     p.add_argument("log")
     p.set_defaults(fn=cmd_inspect)
+    p = sub.add_parser("to-graph-se2")
+    p.add_argument("graph")
+    p.add_argument("-o", "--output", default="graphSE2.g2o")
+    p.set_defaults(fn=cmd_to_se2)
     p = sub.add_parser("sync")
     p.add_argument("log")
     p.add_argument("-o", "--output", default="synced.boss")

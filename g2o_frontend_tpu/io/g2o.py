@@ -307,6 +307,53 @@ def _read_g2o_native(path: str) -> G2OLog | None:
     )
 
 
+def se3_to_se2(log: G2OLog) -> G2OLog:
+    """Flatten an SE3 pose graph to SE2, keeping attached laser data.
+
+    The ``toGraphSE2`` app (``line_extraction/toGraphSE2.cpp:38-158``):
+    every VertexSE3 becomes a VertexSE2 at (x, y, yaw), every EdgeSE3
+    becomes an EdgeSE2 whose measurement is recomputed from the converted
+    states (`setMeasurementFromState`, ``toGraphSE2.cpp:150``) with identity
+    information (the reference's ``info.setIdentity()*1000`` discards the
+    scaling — identity is its actual behavior, ``toGraphSE2.cpp:155``).
+    """
+    n = len(log.se3_ids)
+    poses2 = np.zeros((n, 3))
+    for i in range(n):
+        x, y, _, qx, qy, qz, qw = log.se3_poses[i]
+        # yaw of the rotation: atan2(R10, R00) (iso3toSE_2d)
+        r10 = 2.0 * (qx * qy + qw * qz)
+        r00 = 1.0 - 2.0 * (qy * qy + qz * qz)
+        poses2[i] = (x, y, np.arctan2(r10, r00))
+    id_to_row = {int(v): k for k, v in enumerate(log.se3_ids)}
+
+    m = len(log.edge_se3_ij)
+    e_ij = np.zeros((m, 2), np.int64)
+    e_z = np.zeros((m, 3))
+    e_w = np.tile(np.eye(3), (m, 1, 1))
+    for k in range(m):
+        i, j = (int(v) for v in log.edge_se3_ij[k])
+        e_ij[k] = (i, j)
+        xi, yi, ti = poses2[id_to_row[i]]
+        xj, yj, tj = poses2[id_to_row[j]]
+        c, s = np.cos(ti), np.sin(ti)
+        dx, dy = xj - xi, yj - yi
+        dth = tj - ti
+        e_z[k] = (c * dx + s * dy, -s * dx + c * dy,
+                  np.arctan2(np.sin(dth), np.cos(dth)))
+    return G2OLog(
+        se2_ids=log.se3_ids.copy(),
+        se2_poses=poses2,
+        edge_se2_ij=e_ij,
+        edge_se2_meas=e_z,
+        edge_se2_info=e_w,
+        fixed_ids=log.fixed_ids.copy(),
+        laser_scans=list(log.laser_scans),
+        features=log.features.copy(),
+        params_se3_offset=dict(log.params_se3_offset),
+    )
+
+
 def _upper(M):
     d = M.shape[0]
     return " ".join(repr(float(M[r, c])) for r in range(d) for c in range(r, d))

@@ -85,6 +85,27 @@ def overlap_score(poses_a, poses_b, transform, radius: float = 1.0) -> float:
     return float((d2 < radius * radius).mean())
 
 
+def map_entropy(occupancy, hit_counts=None):
+    """Total entropy of an occupancy grid (``compute_entropy.cpp:10-78``).
+
+    The reference app sums the nonnegative per-cell values of a saved
+    entropy map (unknown cells are negative and skipped,
+    ``compute_entropy.cpp:64-78``); the map itself holds the binary-entropy
+    of each cell's occupancy belief. Here both steps are one function:
+    ``occupancy`` is the per-cell occupancy probability in [0, 1] with
+    unknown cells < 0 (or NaN); returns (total_entropy, per_cell_map) where
+    the map holds -p log p - (1-p) log(1-p) and -1 for unknown cells —
+    lower total = crisper merged map (the reference's merge-quality metric).
+    """
+    p = jnp.asarray(occupancy, jnp.float32)
+    known = (p >= 0.0) & (p <= 1.0) & jnp.isfinite(p)
+    pc = jnp.clip(p, 1e-6, 1.0 - 1e-6)
+    h = -(pc * jnp.log(pc) + (1.0 - pc) * jnp.log(1.0 - pc))
+    h = jnp.where(known, h, -1.0)
+    total = jnp.sum(jnp.where(known, h, 0.0))
+    return total, h
+
+
 def merge_graphs(
     log_a: G2OLog,
     log_b: G2OLog,

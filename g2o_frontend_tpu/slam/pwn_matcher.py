@@ -75,6 +75,25 @@ def match_clouds(
     )
 
 
+@partial(jax.jit, static_argnames=("projector", "scale"))
+def make_thumbnails(cloud: Cloud, projector: PinholeProjector, scale: int = 4):
+    """Depth + normal thumbnails of a cloud (``pwn_matcher_base.h:48-53``).
+
+    The reference renders a scaled-down depth image and an RGB normal image
+    (channels = 127*(1 - n)) used by closers/viewers for cheap overlap
+    screening and debugging. Returns (depth (h, w) float32 meters,
+    normals (h, w, 3) uint8).
+    """
+    sp = projector.scaled(scale)
+    depth, idx = sp.project(cloud.points, cloud.valid)
+    flat_n = cloud.normals.reshape(-1, 3)
+    n_img = jnp.where(
+        (idx >= 0)[..., None], flat_n[jnp.maximum(idx, 0)], jnp.zeros(3)
+    )
+    n_rgb = (127.0 * (1.0 - n_img)).astype(jnp.uint8)
+    return depth, n_rgb
+
+
 @dataclass(frozen=True)
 class MatcherConfig:
     """PwnMatcherBase knobs (scale applied by the caller's projector)."""

@@ -34,3 +34,35 @@ def test_native_parser_handles_se3_records():
     b = read_g2o(PATH, native=False)
     np.testing.assert_allclose(a.se3_poses, b.se3_poses, rtol=1e-12)
     np.testing.assert_allclose(a.edge_se3_info, b.edge_se3_info, rtol=1e-12)
+
+
+@pytest.mark.skipif(not os.path.isfile(PATH), reason="dataset missing")
+def test_se3_to_se2_flatten():
+    """toGraphSE2 equivalent (toGraphSE2.cpp:38-158): flatten + laser kept."""
+    from g2o_frontend_tpu.io.g2o import se3_to_se2, write_g2o
+
+    log = read_g2o(PATH)
+    flat = se3_to_se2(log)
+    assert len(flat.se2_ids) == len(log.se3_ids)
+    assert len(flat.edge_se2_ij) == len(log.edge_se3_ij)
+    assert len(flat.laser_scans) == len(log.laser_scans)
+    # planar dataset: x, y match the SE3 estimates exactly
+    np.testing.assert_allclose(flat.se2_poses[:, :2], log.se3_poses[:, :2])
+    # edge measurements recomputed from state -> consistent with the poses
+    i, j = flat.edge_se2_ij[10]
+    pi = flat.se2_poses[np.where(flat.se2_ids == i)[0][0]]
+    pj = flat.se2_poses[np.where(flat.se2_ids == j)[0][0]]
+    c, s = np.cos(pi[2]), np.sin(pi[2])
+    dx, dy = pj[0] - pi[0], pj[1] - pi[1]
+    np.testing.assert_allclose(
+        flat.edge_se2_meas[10][:2], [c * dx + s * dy, -s * dx + c * dy], atol=1e-12
+    )
+    # round-trips through the writer
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".g2o", mode="w", delete=False) as fh:
+        path = fh.name
+    write_g2o(path, flat)
+    back = read_g2o(path)
+    np.testing.assert_allclose(back.se2_poses, flat.se2_poses, rtol=1e-9)
+    os.unlink(path)

@@ -118,3 +118,4 @@ class TestGraphMerge:
         chi2 = np.asarray(stats.chi2)
         assert np.isfinite(chi2[-1])
         assert chi2[-1] <= chi2[0] + 1e-3
+

@@ -200,3 +200,19 @@ class TestAligner:
         T = np.asarray(res.T)
         np.testing.assert_allclose(T, np.eye(4), atol=1e-3)
         assert bool(res.valid)
+
+
+def test_make_thumbnails():
+    """pwn_matcher_base.h:48-53: scaled depth + normal-RGB renders."""
+    from g2o_frontend_tpu.slam.pwn_matcher import make_thumbnails
+
+    depth = render_depth(np.eye(4))
+    cloud = depth_to_cloud(depth, PROJ, CFG)
+    d_th, n_rgb = make_thumbnails(cloud, PROJ, scale=4)
+    assert d_th.shape == (PROJ.rows // 4, PROJ.cols // 4)
+    assert n_rgb.shape == (PROJ.rows // 4, PROJ.cols // 4, 3)
+    assert n_rgb.dtype == jnp.uint8
+    d = np.asarray(d_th)
+    assert (d > 0).mean() > 0.5
+    rgb = np.asarray(n_rgb)
+    assert rgb[d > 0].std() > 1.0  # normal-coded colors vary across planes
