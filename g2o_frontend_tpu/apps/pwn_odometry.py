@@ -31,7 +31,14 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--conf", help="boss pipeline .conf (reference format)")
     ap.add_argument("--kf-fraction", type=float, default=0.4)
+    ap.add_argument(
+        "--benchmark-out",
+        help="per-frame benchmark file in the reference format: "
+        "'inliers error error/inliers time dist angle score x y z qx qy qz qw' "
+        "(pwn_benchmark.cpp:417-421, pwn_odometry.cpp:43-46)",
+    )
     args = ap.parse_args(argv)
+    import time as _time
 
     import jax.numpy as jnp
 
@@ -75,6 +82,14 @@ def main(argv=None):
     )
 
     timestamps = []
+    frame_times = []
+
+    def step(depth, ts):
+        t0 = _time.perf_counter()
+        tracker.process_frame(depth)
+        frame_times.append(_time.perf_counter() - t0)
+        timestamps.append(ts)
+
     if args.synthetic:
         from ..utils.synth import render_planes_depth
 
@@ -82,8 +97,7 @@ def main(argv=None):
             a = 2 * np.pi * k / args.frames
             T = np.eye(4)
             T[:3, 3] = [0.4 * np.cos(a), 0.0, 0.25 * np.sin(a)]
-            tracker.process_frame(render_planes_depth(T, proj))
-            timestamps.append(k / 30.0)
+            step(render_planes_depth(T, proj), k / 30.0)
     else:
         index = tum.read_depth_index(args.seq_dir)
         if args.max_frames:
@@ -92,8 +106,7 @@ def main(argv=None):
             depth = tum.load_depth_png(os.path.join(args.seq_dir, rel))
             if args.scale > 1:
                 depth = depth[:: args.scale, :: args.scale]
-            tracker.process_frame(jnp.asarray(depth, jnp.float32))
-            timestamps.append(ts)
+            step(jnp.asarray(depth, jnp.float32), ts)
 
     # trajectory out (TUM format)
     traj = tracker.trajectory_array()
@@ -103,10 +116,33 @@ def main(argv=None):
         poses7.append(np.concatenate([T[:3, 3], q[1:], q[:1]]))
     tum.write_trajectory(args.out, timestamps, poses7)
 
+    if args.benchmark_out:
+        # per-frame: inliers error error/inliers time dist angle score pose7
+        with open(args.benchmark_out, "w") as fh:
+            for k, m in enumerate(tracker.metrics):
+                inl = m.get("inliers", 0)
+                err = m.get("chi2", 0.0)
+                epi = err / inl if inl else 0.0
+                if k > 0:
+                    d = np.linalg.inv(traj[k - 1]) @ traj[k]
+                    dist = float(np.linalg.norm(d[:3, 3]))
+                    ca = np.clip((np.trace(d[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
+                    angle = float(np.arccos(ca))
+                else:
+                    dist = angle = 0.0
+                p = poses7[k]
+                fh.write(
+                    f"{inl} {err:.6f} {epi:.6f} {frame_times[k]:.6f} "
+                    f"{dist:.6f} {angle:.6f} {m.get('fraction', 0.0):.6f} "
+                    + " ".join(f"{v:.6f}" for v in p)
+                    + "\n"
+                )
+
     result = {
         "frames": len(traj),
         "keyframes": tracker.n_keyframes,
         "trajectory": args.out,
+        "mean_frame_time_s": float(np.mean(frame_times)) if frame_times else 0.0,
     }
     gt_file = args.seq_dir and os.path.join(args.seq_dir, "groundtruth.txt")
     if gt_file and os.path.isfile(gt_file):
