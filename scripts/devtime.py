@@ -34,10 +34,26 @@ def device_time(f, inputs, n=20, reps=3):
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
+    # two-point in n: slope between loop sizes cancels the per-call
+    # dispatch latency exactly (timing one loop gives op + dispatch/n)
+    @jax.jit
+    def loop_small(first, *rest):
+        def body(i, carry):
+            out = f(first + (1e-30 * carry).astype(first.dtype), *rest)
+            return carry + sum(
+                jnp.sum(l).astype(jnp.float32) for l in jax.tree_util.tree_leaves(out)
+            )
+
+        return jax.lax.fori_loop(0, max(n // 4, 1), body, jnp.float32(0))
+
     np.asarray(loop2(*inputs))  # compile
+    np.asarray(loop_small(*inputs))
     best = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
+        np.asarray(loop_small(*inputs))
+        t1 = time.perf_counter()
         np.asarray(loop2(*inputs))
-        best = min(best, (time.perf_counter() - t0))
-    return best / n
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (n - max(n // 4, 1)))
+    return best
