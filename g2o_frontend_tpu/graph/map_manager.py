@@ -38,6 +38,28 @@ class MapNode:
         return isinstance(other, MapNode) and other.seq == self.seq
 
 
+class MapNodeAlias(MapNode):
+    """A node at level+1 whose pose proxies an `original` node
+    (``map_core.h`` MapNodeAlias, ``:79-99``) — the reference's mechanism
+    for hierarchical map levels: higher levels alias representative nodes of
+    lower-level partitions, so level-L optimization moves whole subtrees."""
+
+    def __init__(self, seq: int, original: MapNode, payload=None):
+        super().__init__(seq=seq, transform=original.transform,
+                         level=original.level + 1, payload=payload or {})
+        self.original = original
+
+    @property  # type: ignore[override]
+    def transform(self):
+        return self.original.transform
+
+    @transform.setter
+    def transform(self, value):
+        # setting an alias pose moves the original (map_core.h:90-92)
+        if getattr(self, "original", None) is not None:
+            self.original.transform = value
+
+
 @dataclass
 class MapRelation:
     """Binary relation; transform maps `to` coordinates into `from` frame."""
@@ -77,6 +99,19 @@ class MapManager:
         for h in self.node_added_handlers:
             h(n)
         return n
+
+    def add_alias(self, original: MapNode, payload=None) -> MapNodeAlias:
+        """Lift `original` one level up (``map_core.h`` MapNodeAlias)."""
+        n = MapNodeAlias(seq=len(self.nodes), original=original,
+                         payload=payload)
+        self.nodes.append(n)
+        self._node_relations[n.seq] = set()
+        for h in self.node_added_handlers:
+            h(n)
+        return n
+
+    def level_nodes(self, level: int) -> list[MapNode]:
+        return [n for n in self.nodes if n.level == level]
 
     def add_relation(self, rel: MapRelation) -> MapRelation:
         self.relations.append(rel)

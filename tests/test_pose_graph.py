@@ -223,3 +223,26 @@ class TestBundledDatasets:
         assert chi2_end < chi2_0
         # With 3812 pose-landmark constraints the optimum is well below init.
         assert chi2_end < 0.7 * chi2_0, (chi2_0, chi2_end)
+
+
+def test_map_node_alias_levels():
+    """MapNodeAlias proxies the original's pose one level up (map_core.h:79-99)."""
+    import numpy as np
+
+    from g2o_frontend_tpu.graph.map_manager import MapManager
+
+    mgr = MapManager()
+    a = mgr.add_node(np.eye(4))
+    alias = mgr.add_alias(a)
+    assert alias.level == a.level + 1
+    assert alias.original is a
+    np.testing.assert_array_equal(alias.transform, a.transform)
+    # moving the original moves the alias
+    T = np.eye(4); T[0, 3] = 3.0
+    a.transform = T
+    np.testing.assert_array_equal(alias.transform, T)
+    # moving the alias moves the original (reference setTransform semantics)
+    T2 = np.eye(4); T2[1, 3] = -1.0
+    alias.transform = T2
+    np.testing.assert_array_equal(a.transform, T2)
+    assert mgr.level_nodes(1) == [alias]
