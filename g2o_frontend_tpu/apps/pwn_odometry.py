@@ -32,6 +32,13 @@ def main(argv=None):
     ap.add_argument("--conf", help="boss pipeline .conf (reference format)")
     ap.add_argument("--kf-fraction", type=float, default=0.4)
     ap.add_argument(
+        "--scan",
+        action="store_true",
+        help="whole-sequence on-device mode: stack all depths and run the "
+        "keyframe loop as one lax.scan program (no per-frame host round "
+        "trips); trajectory only, no map graph",
+    )
+    ap.add_argument(
         "--benchmark-out",
         help="per-frame benchmark file in the reference format: "
         "'inliers error error/inliers time dist angle score x y z qx qy qz qw' "
@@ -83,8 +90,13 @@ def main(argv=None):
 
     timestamps = []
     frame_times = []
+    scan_depths = [] if args.scan else None
 
     def step(depth, ts):
+        if scan_depths is not None:
+            scan_depths.append(np.asarray(depth, np.float32))
+            timestamps.append(ts)
+            return
         t0 = _time.perf_counter()
         tracker.process_frame(depth)
         frame_times.append(_time.perf_counter() - t0)
@@ -107,6 +119,33 @@ def main(argv=None):
             if args.scale > 1:
                 depth = depth[:: args.scale, :: args.scale]
             step(jnp.asarray(depth, jnp.float32), ts)
+
+    if scan_depths is not None:
+        from ..slam.pwn_tracker import odometry_scan
+
+        t0 = _time.perf_counter()
+        traj_dev, scan_metrics = odometry_scan(
+            np.stack(scan_depths), proj, ccfg, acfg,
+            kf_fraction=args.kf_fraction,
+        )
+        traj = np.asarray(traj_dev, np.float64)
+        wall = _time.perf_counter() - t0
+        frame_times = [wall / max(len(traj), 1)] * len(traj)
+        tracker.trajectory = list(traj)
+        tracker.n_keyframes = int(np.asarray(scan_metrics["keyframe"]).sum())
+        tracker.metrics = [
+            {
+                "keyframe": bool(k),
+                "inliers": int(i),
+                "fraction": float(f),
+                "chi2": 0.0,
+            }
+            for k, i, f in zip(
+                np.asarray(scan_metrics["keyframe"]),
+                np.asarray(scan_metrics["inliers"]),
+                np.asarray(scan_metrics["fraction"]),
+            )
+        ]
 
     # trajectory out (TUM format)
     traj = tracker.trajectory_array()

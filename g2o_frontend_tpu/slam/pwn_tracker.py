@@ -190,3 +190,56 @@ class PwnTracker:
 
     def trajectory_array(self):
         return np.stack(self.trajectory) if self.trajectory else np.zeros((0, 4, 4))
+
+
+def odometry_scan(
+    depths,
+    projector: PinholeProjector,
+    ccfg: ConverterConfig = ConverterConfig(),
+    acfg: AlignerConfig = AlignerConfig(),
+    kf_fraction: float = 0.4,
+):
+    """Whole-sequence odometry as ONE device program (`lax.scan`).
+
+    The host-loop tracker pays a host<->device round trip per frame; here the
+    entire keyframe loop — convert, align against the carried keyframe cloud,
+    keyframe switch — runs on-chip over a stacked (K, H, W) depth batch. The
+    keyframe policy (``pwn_tracker.cpp:164-170``) becomes a `jnp.where`
+    tree-select on the carried reference cloud: fixed shapes, no host sync.
+
+    Returns (trajectory (K, 4, 4) world poses, metrics dict of (K,) arrays:
+    inliers, fraction, keyframe flags).
+    """
+    import jax
+
+    depths = jnp.asarray(depths, jnp.float32)
+    cloud0 = depth_to_cloud(depths[0], projector, ccfg)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    max_inliers = projector.rows * projector.cols
+
+    def step(carry, depth):
+        ref, kf_T, global_T = carry
+        cur = depth_to_cloud(depth, projector, ccfg)
+        guess = jnp.linalg.solve(kf_T, global_T)  # prevKF_T^-1 @ globalT
+        res = align(ref, cur, projector, guess, acfg)
+        ok = res.inliers > 0
+        global_T = jnp.where(ok, kf_T @ res.T, global_T @ guess)
+        fraction = res.inliers / max_inliers
+        new_kf = (fraction < kf_fraction) | ~ok
+        ref = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(new_kf, b, a), ref, cur
+        )
+        kf_T = jnp.where(new_kf, global_T, kf_T)
+        out = (global_T, res.inliers, fraction, new_kf)
+        return (ref, kf_T, global_T), out
+
+    (_, _, _), (traj, inliers, fraction, kf) = jax.lax.scan(
+        step, (cloud0, eye, eye), depths[1:]
+    )
+    traj = jnp.concatenate([eye[None], traj], 0)
+    pad = lambda x, v: jnp.concatenate([jnp.asarray([v], x.dtype), x])
+    return traj, {
+        "inliers": pad(inliers, 0),
+        "fraction": pad(fraction, 1.0),
+        "keyframe": pad(kf, True),
+    }

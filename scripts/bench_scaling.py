@@ -81,6 +81,21 @@ def main():
     spread = (max(finals) - min(finals)) / max(abs(finals[0]), 1e-12)
     print(json.dumps({"chi2_relative_spread_across_meshes": spread}))
 
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "eval_out")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "scaling.json"), "w") as fh:
+        json.dump(
+            {
+                "dataset": args.dataset,
+                "iters": args.iters,
+                "cg_iters": args.cg_iters,
+                "results": {str(k): v for k, v in results.items()},
+                "chi2_relative_spread": spread,
+            },
+            fh,
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -191,6 +191,96 @@ def eval_grid_slam(fast):
             "wall_s": round(wall, 1)}
 
 
+def eval_victoria(fast):
+    """Victoria Park unknown-DA (the params.txt victoria recipe) vs the
+    full-association optimum. Writes eval_out/victoria.json."""
+    import jax.numpy as jnp
+
+    from g2o_frontend_tpu.graph.store import graph2d_from_log
+    from g2o_frontend_tpu.io.g2o import read_g2o
+    from g2o_frontend_tpu.slam.feature_tracker import (
+        FeatureTracker2D,
+        Tracker2DConfig,
+    )
+    from g2o_frontend_tpu.solvers import pose_graph as pg
+    from g2o_frontend_tpu.utils import lie
+    from g2o_frontend_tpu.utils.evaluation import ate_xy
+
+    n_frames = 400 if fast else 1000
+
+    log_full = read_g2o(os.path.join(DATA, "victoriaPark-full.g2o.gz"))
+    g_full, _ = graph2d_from_log(log_full)
+    g_full_opt, _ = pg.optimize_se2(g_full, iters=25, cg_iters=250)
+    ref_traj = np.asarray(g_full_opt.poses)[:n_frames]
+
+    log = read_g2o(os.path.join(DATA, "victoriaPark-noassoc.g2o.gz"))
+    feats = {}
+    for row in log.features:
+        feats.setdefault(int(row[0]), []).append(row[1:3])
+    # datasets/2D/params.txt victoria recipe values
+    tr = FeatureTracker2D(
+        Tracker2DConfig(
+            loop_landmark_merge_distance=2.0,
+            local_map_size=50,
+            incremental_guess_max_feature_distance=2.0,
+            incremental_ransac_inlier_threshold=1.0,
+            loop_guess_max_feature_distance=60.0,
+            loop_ransac_inlier_threshold=2.0,
+        )
+    )
+    prev = None
+    t0 = time.perf_counter()
+    for k in range(min(n_frames, len(log.se2_ids))):
+        vid = int(log.se2_ids[k])
+        pose = log.se2_poses[k]
+        delta = (
+            np.zeros(3, np.float32)
+            if prev is None
+            else np.asarray(
+                lie.se2_relative(
+                    jnp.asarray(prev, jnp.float32), jnp.asarray(pose, jnp.float32)
+                )
+            )
+        )
+        prev = pose
+        obs = np.asarray(feats.get(vid, np.zeros((0, 2))), np.float32)
+        tr.process_frame(delta, obs)
+        if (k + 1) % 100 == 0:
+            tr.close_loops()
+    tr.merge_nearby_landmarks()
+    chi2 = tr.optimize(local=False)
+    wall = time.perf_counter() - t0
+
+    est = tr.trajectory()[: len(ref_traj)]
+    res_vs_ref = ate_xy(est[:, :2], ref_traj[:, :2])
+    odo = log.se2_poses[: len(ref_traj)]
+    odo_vs_ref = ate_xy(odo[:, :2], ref_traj[:, :2])
+
+    from g2o_frontend_tpu.utils.viz import plot_trajectory_2d
+
+    plot_trajectory_2d(
+        os.path.join(OUT, "unknown_da_victoria.png"),
+        {
+            "full-assoc optimum": ref_traj[:, :2],
+            "ours (noassoc)": est[:, :2],
+            "odometry": odo[:, :2],
+        },
+        landmarks=tr.landmarks[tr.lm_alive],
+        title=f"Victoria Park unknown association ({len(est)} frames)",
+    )
+    out = {
+        "frames": int(len(est)),
+        "landmarks": int(tr.lm_alive.sum()),
+        "chi2": float(chi2),
+        "ate_vs_full_optimum_rmse": float(res_vs_ref["rmse"]),
+        "ate_odometry_rmse": float(odo_vs_ref["rmse"]),
+        "wall_s": round(wall, 1),
+    }
+    with open(os.path.join(OUT, "victoria.json"), "w") as fh:
+        json.dump(out, fh)
+    return out
+
+
 def eval_pwn_slam():
     from g2o_frontend_tpu.apps.pwn_slam import main as pwn_main
     import io
@@ -209,8 +299,13 @@ def eval_pwn_slam():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--only", choices=["victoria"], help="run one section and exit")
     args = ap.parse_args()
     os.makedirs(OUT, exist_ok=True)
+
+    if args.only == "victoria":
+        print(json.dumps(eval_victoria(args.fast), indent=1))
+        return
 
     results = {}
     results["pose_graphs"] = eval_pose_graphs(args.fast)
@@ -248,6 +343,42 @@ def main():
     lines += ["", "## 4. PWN SLAM (synthetic RGB-D loop)", "",
               f"- frames {p['frames']}, keyframes {p['keyframes']}, "
               f"closures {p['closures']}, final chi2 {p['final_chi2']:.2e}"]
+
+    # persistent sidecar sections (produced by their own runners)
+    vic_path = os.path.join(OUT, "victoria.json")
+    if os.path.isfile(vic_path):
+        v = json.load(open(vic_path))
+        lines += ["", "## 5. Victoria Park unknown DA (params.txt recipe)", "",
+                  f"- frames: {v['frames']}, landmarks: {v['landmarks']}",
+                  f"- ATE vs full-association optimum: "
+                  f"**{v['ate_vs_full_optimum_rmse']:.3f} m** "
+                  f"(odometry baseline: {v['ate_odometry_rmse']:.3f} m)",
+                  f"- final chi2 {v['chi2']:.1f}, wall {v['wall_s']} s",
+                  "- figure: eval_out/unknown_da_victoria.png",
+                  "- produced by: scripts/evaluate.py --only victoria"]
+    sc_path = os.path.join(OUT, "scaling.json")
+    if os.path.isfile(sc_path):
+        s = json.load(open(sc_path))
+        lines += ["", "## 6. Distributed scaling (virtual CPU meshes)", "",
+                  f"Edge-sharded SE2 LM on {s['dataset']} "
+                  f"({s['iters']} LM x {s['cg_iters']} CG):", "",
+                  "| devices | LM iters/s | vs 1 device | chi2 final |",
+                  "|---|---|---|---|"]
+        base = s["results"]["1"]["lm_iters_per_s"] if "1" in s["results"] else None
+        for nd, r in s["results"].items():
+            rel = r["lm_iters_per_s"] / base if base else float("nan")
+            lines.append(
+                f"| {nd} | {r['lm_iters_per_s']:.3f} | {rel:.3f} | "
+                f"{r['chi2_final']:.4e} |"
+            )
+        lines += ["",
+                  "Virtual devices share the host's cores, so aggregate "
+                  "throughput cannot rise with mesh size; the table measures "
+                  "the sharded program's overhead and cross-mesh chi2 parity "
+                  f"(relative spread {s['chi2_relative_spread']:.1e}). "
+                  "Real scaling needs an ICI slice (BASELINE.md); the "
+                  "mechanism (shard_map + psum) is identical.",
+                  "- produced by: scripts/bench_scaling.py"]
     with open(os.path.join(OUT, "..", "EVAL.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(json.dumps(results, indent=1))

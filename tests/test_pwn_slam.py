@@ -140,3 +140,47 @@ class TestPwnTrackerEndToEnd:
             pred = np.linalg.inv(r.node_from.transform) @ r.node_to.transform
             err = np.linalg.inv(r.transform) @ pred
             assert np.linalg.norm(err[:3, 3]) < 5e-2
+
+
+def test_odometry_scan_matches_host_tracker():
+    """On-device lax.scan odometry == host-loop PwnTracker (same policy)."""
+    import jax.numpy as jnp
+
+    from g2o_frontend_tpu.pwn.aligner import AlignerConfig
+    from g2o_frontend_tpu.pwn.converter import ConverterConfig
+    from g2o_frontend_tpu.slam.pwn_tracker import (
+        PwnTracker, PwnTrackerConfig, odometry_scan)
+    from g2o_frontend_tpu.utils.synth import default_projector, render_planes_depth
+
+    proj = default_projector(H=48, W=64)
+    ccfg = ConverterConfig(min_image_radius=2, max_image_radius=5, min_points=8)
+    acfg = AlignerConfig(outer_iterations=6)
+    depths = []
+    K = 6
+    for k in range(K):
+        T = np.eye(4)
+        # motion along y/z: both well-observed by the floor + back wall
+        # (x is weakly constrained at this FOV - the side wall grazes the
+        # image edge)
+        T[:3, 3] = [0.0, 0.02 * k, 0.04 * k]
+        depths.append(np.asarray(render_planes_depth(T, proj)))
+    depths = np.stack(depths)
+
+    traj, metrics = odometry_scan(
+        jnp.asarray(depths), proj, ccfg, acfg, kf_fraction=0.4)
+    traj = np.asarray(traj)
+    assert traj.shape == (K, 4, 4)
+
+    host = PwnTracker(proj, ccfg, acfg,
+                      PwnTrackerConfig(new_frame_inliers_fraction=0.4))
+    for k in range(K):
+        host.process_frame(jnp.asarray(depths[k], jnp.float32))
+    host_traj = host.trajectory_array()
+
+    # same keyframe decisions and trajectories (both f32 compute)
+    host_kf = np.asarray([m["keyframe"] for m in host.metrics])
+    np.testing.assert_array_equal(np.asarray(metrics["keyframe"]), host_kf)
+    np.testing.assert_allclose(traj, host_traj, atol=5e-3)
+    # recovered motion close to ground truth along the observable axes
+    assert abs(traj[-1][2, 3] - 0.04 * (K - 1)) < 0.02
+    assert abs(traj[-1][1, 3] - 0.02 * (K - 1)) < 0.02
