@@ -149,6 +149,45 @@ def bench_pwn_aligner(device=None, H=480, W=640, reps=5):
     }
 
 
+def bench_tracker(H=480, W=640, lo=6, hi=26):
+    """End-to-end odometry frames/s: depth->cloud + 10-outer align +
+    keyframe policy per frame, as one on-device scan (odometry_scan).
+    Two scan lengths cancel dispatch + the first frame's conversion."""
+    import jax
+    import jax.numpy as jnp
+
+    from g2o_frontend_tpu.slam.pwn_tracker import odometry_scan
+    from g2o_frontend_tpu.pwn.converter import ConverterConfig
+    from g2o_frontend_tpu.pwn.aligner import AlignerConfig
+
+    d_ref, d_cur, proj, _ = _make_depth_pair(H, W)
+    ccfg = ConverterConfig()
+    acfg = AlignerConfig(outer_iterations=10)
+    rng = np.random.default_rng(0)
+
+    def seq(n):
+        # alternate with slight scaling so every frame differs
+        frames = [
+            np.asarray(d_ref) * (1.0 + 0.002 * (k % 5)) for k in range(n)
+        ]
+        return jnp.asarray(np.stack(frames), jnp.float32)
+
+    def run(depths):
+        traj, m = odometry_scan(depths, proj, ccfg, acfg)
+        np.asarray(traj)
+
+    s_lo, s_hi = seq(lo), seq(hi)
+    run(s_lo)
+    run(s_hi)
+    t0 = time.perf_counter()
+    run(s_lo)
+    t1 = time.perf_counter()
+    run(s_hi)
+    t2 = time.perf_counter()
+    dt = ((t2 - t1) - (t1 - t0)) / (hi - lo)
+    return {"tracker_fps": 1.0 / dt}
+
+
 def bench_pose_graph(device=None):
     import os
 
@@ -186,6 +225,7 @@ def main():
     plat = jax.devices()[0].platform
     pwn = bench_pwn_aligner()
     pwn4 = bench_pwn_aligner(H=120, W=160, reps=10)  # ref tracker scale=4
+    trk = bench_tracker()
     pgo = bench_pose_graph()
 
     vs = 1.0
@@ -205,6 +245,7 @@ def main():
         "platform": plat,
         "align_fps_scale4": round(pwn4["align_fps"], 3),
         "convert_fps": round(pwn["convert_fps"], 3),
+        "tracker_fps_e2e": round(trk["tracker_fps"], 3),
         "align_t_err_m": round(pwn["t_err_m"], 5),
         "align_inliers": pwn["inliers"],
         "pose_graph_lm_iters_per_s": round(pgo["lm_iters_per_s"], 3),
