@@ -1,11 +1,13 @@
 """Pairwise cloud/depth alignment CLI (pwn_apps/pwn_cloud_aligner analog).
 
-Aligns two depth images (16-bit TUM PNGs or .npy float meters), prints the
-transform + statistics, optionally writes visualization PNGs.
+Aligns two depth images (16-bit TUM PNGs, .npy float meters, or reference
+`.pwn` cloud files — re-rendered through the projector like the reference
+app), prints the transform + statistics, optionally writes visualizations.
 
 Usage:
   python -m g2o_frontend_tpu.apps.cloud_aligner REF CUR [--scale 2]
-      [--fx 525 --fy 525 --cx 319.5 --cy 239.5] [--viz-prefix out]
+      [--fx 525 --fy 525 --cx 319.5 --cy 239.5] [--rows 480 --cols 640]
+      [--viz-prefix out]
 """
 from __future__ import annotations
 
@@ -34,6 +36,8 @@ def main(argv=None):
     ap.add_argument("--cx", type=float, default=319.5)
     ap.add_argument("--cy", type=float, default=239.5)
     ap.add_argument("--outer-iterations", type=int, default=10)
+    ap.add_argument("--rows", type=int, default=480)
+    ap.add_argument("--cols", type=int, default=640)
     ap.add_argument("--viz-prefix", default=None)
     args = ap.parse_args(argv)
 
@@ -44,8 +48,29 @@ def main(argv=None):
     from ..pwn.projector import PinholeProjector
     from ..utils import lie
 
-    d_ref = _load_depth(args.reference)
-    d_cur = _load_depth(args.current)
+    def load_any(path):
+        if path.endswith(".pwn"):
+            # re-render the stored cloud as a depth image (the reference app
+            # converts .pwn clouds through the projector the same way)
+            from ..pwn.cloud_io import load_pwn
+
+            d = load_pwn(path)
+            import numpy as _np
+
+            # host-side z-buffer render (IO path, not perf-critical)
+            p = d["points"]
+            u = _np.round(p[:, 0] / _np.maximum(p[:, 2], 1e-9) * args.fx + args.cx).astype(int)
+            v = _np.round(p[:, 1] / _np.maximum(p[:, 2], 1e-9) * args.fy + args.cy).astype(int)
+            z = p[:, 2]
+            okm = (z > 0.1) & (u >= 0) & (u < args.cols) & (v >= 0) & (v < args.rows)
+            img = _np.zeros((args.rows, args.cols), _np.float32)
+            order = _np.argsort(-z[okm])  # far to near: near wins
+            img[v[okm][order], u[okm][order]] = z[okm][order]
+            return img
+        return _load_depth(path)
+
+    d_ref = load_any(args.reference)
+    d_cur = load_any(args.current)
     s = args.scale
     if s > 1:
         d_ref = d_ref[::s, ::s]
