@@ -79,6 +79,23 @@ class G2OLog:
     edge_se3_ij: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.int64))
     edge_se3_meas: np.ndarray = field(default_factory=lambda: np.zeros((0, 7), np.float64))
     edge_se3_info: np.ndarray = field(default_factory=lambda: np.zeros((0, 6, 6), np.float64))
+    # Line-SLAM records (g2o_line_addons / line_alignment graphs):
+    # VERTEX_LINE2D id theta rho p1_id p2_id
+    line2d_ids: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    line2d_params: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.float64))
+    line2d_endpoints: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.int64))
+    # VERTEX_EXTREME_XY id x y density (vertex_extreme_point_xy.h:38)
+    extreme_ids: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    extreme_points: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.float64))
+    extreme_density: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
+    # EDGE_SE2_LINE2D i j dtheta drho <3 upper-tri info>
+    edge_se2line_ij: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.int64))
+    edge_se2line_meas: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.float64))
+    edge_se2line_info: np.ndarray = field(default_factory=lambda: np.zeros((0, 2, 2), np.float64))
+    # EDGE_LINE2D_POINTXY line_id point_id measurement info
+    edge_linexy_ij: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.int64))
+    edge_linexy_meas: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
+    edge_linexy_info: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
     # Fixed vertex ids (gauge)
     fixed_ids: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
     # Attached data
@@ -125,6 +142,10 @@ def read_g2o(path_or_file, native: bool = True) -> G2OLog:
     e2_ij, e2_z, e2_w = [], [], []
     exy_ij, exy_z, exy_w = [], [], []
     e3_ij, e3_z, e3_w = [], [], []
+    l2_ids, l2_par, l2_ep = [], [], []
+    ex_ids, ex_pts, ex_den = [], [], []
+    esl_ij, esl_z, esl_w = [], [], []
+    elx_ij, elx_z, elx_w = [], [], []
     fixed = []
     scans: list[LaserScan] = []
     feats = []
@@ -161,6 +182,26 @@ def read_g2o(path_or_file, native: bool = True) -> G2OLog:
                 e3_ij.append([int(tok[1]), int(tok[2])])
                 e3_z.append([float(v) for v in tok[3:10]])
                 e3_w.append(_sym_from_upper([float(v) for v in tok[10:31]], 6))
+            elif tag == "VERTEX_LINE2D":
+                last_vertex = int(tok[1])
+                l2_ids.append(last_vertex)
+                l2_par.append([float(tok[2]), float(tok[3])])
+                l2_ep.append(
+                    [int(tok[4]), int(tok[5])] if len(tok) >= 6 else [-1, -1]
+                )
+            elif tag == "VERTEX_EXTREME_XY":
+                last_vertex = int(tok[1])
+                ex_ids.append(last_vertex)
+                ex_pts.append([float(tok[2]), float(tok[3])])
+                ex_den.append(float(tok[4]) if len(tok) > 4 else 1.0)
+            elif tag == "EDGE_SE2_LINE2D":
+                esl_ij.append([int(tok[1]), int(tok[2])])
+                esl_z.append([float(tok[3]), float(tok[4])])
+                esl_w.append(_sym_from_upper([float(v) for v in tok[5:8]], 2))
+            elif tag == "EDGE_LINE2D_POINTXY":
+                elx_ij.append([int(tok[1]), int(tok[2])])
+                elx_z.append(float(tok[3]))
+                elx_w.append(float(tok[4]))
             elif tag == "FIX":
                 fixed.extend(int(v) for v in tok[1:])
             elif tag == "PARAMS_SE3OFFSET":
@@ -227,6 +268,18 @@ def read_g2o(path_or_file, native: bool = True) -> G2OLog:
         edge_se3_ij=np.asarray(e3_ij, np.int64).reshape(-1, 2),
         edge_se3_meas=np.asarray(e3_z, np.float64).reshape(-1, 7),
         edge_se3_info=np.asarray(e3_w, np.float64).reshape(-1, 6, 6),
+        line2d_ids=np.asarray(l2_ids, np.int64),
+        line2d_params=np.asarray(l2_par, np.float64).reshape(-1, 2),
+        line2d_endpoints=np.asarray(l2_ep, np.int64).reshape(-1, 2),
+        extreme_ids=np.asarray(ex_ids, np.int64),
+        extreme_points=np.asarray(ex_pts, np.float64).reshape(-1, 2),
+        extreme_density=np.asarray(ex_den, np.float64),
+        edge_se2line_ij=np.asarray(esl_ij, np.int64).reshape(-1, 2),
+        edge_se2line_meas=np.asarray(esl_z, np.float64).reshape(-1, 2),
+        edge_se2line_info=np.asarray(esl_w, np.float64).reshape(-1, 2, 2),
+        edge_linexy_ij=np.asarray(elx_ij, np.int64).reshape(-1, 2),
+        edge_linexy_meas=np.asarray(elx_z, np.float64),
+        edge_linexy_info=np.asarray(elx_w, np.float64),
         fixed_ids=np.asarray(sorted(set(fixed)), np.int64),
         laser_scans=scans,
         features=np.asarray(feats, np.float64).reshape(-1, 6),
@@ -249,6 +302,8 @@ def _read_g2o_native(path: str) -> G2OLog | None:
                 data = fh.read()
     except OSError:
         return None
+    if b"VERTEX_LINE2D" in data or b"VERTEX_EXTREME_XY" in data:
+        return None  # line-SLAM records: only the Python parser knows them
     t = parse_g2o_bytes(data)
     if t is None:
         return None
@@ -373,6 +428,14 @@ def write_g2o(path, log: G2OLog) -> None:
         buf.write(
             "VERTEX_SE3:QUAT %d %s\n" % (int(vid), " ".join(repr(float(v)) for v in p))
         )
+    for i, vid in enumerate(log.extreme_ids):
+        p = [float(v) for v in log.extreme_points[i]]
+        d = float(log.extreme_density[i])
+        buf.write(f"VERTEX_EXTREME_XY {int(vid)} {p[0]!r} {p[1]!r} {d!r}\n")
+    for i, vid in enumerate(log.line2d_ids):
+        th, rho = (float(v) for v in log.line2d_params[i])
+        p1, p2 = (int(v) for v in log.line2d_endpoints[i])
+        buf.write(f"VERTEX_LINE2D {int(vid)} {th!r} {rho!r} {p1} {p2}\n")
     for vid in log.fixed_ids:
         buf.write(f"FIX {int(vid)}\n")
     for k in range(len(log.edge_se2_ij)):
@@ -388,6 +451,19 @@ def write_g2o(path, log: G2OLog) -> None:
         buf.write(
             f"EDGE_SE2_XY {int(i)} {int(j)} {z[0]!r} {z[1]!r} "
             f"{_upper(log.edge_se2xy_info[k])}\n"
+        )
+    for k in range(len(log.edge_se2line_ij)):
+        i, j = log.edge_se2line_ij[k]
+        z = [float(v) for v in log.edge_se2line_meas[k]]
+        buf.write(
+            f"EDGE_SE2_LINE2D {int(i)} {int(j)} {z[0]!r} {z[1]!r} "
+            f"{_upper(log.edge_se2line_info[k])}\n"
+        )
+    for k in range(len(log.edge_linexy_ij)):
+        i, j = log.edge_linexy_ij[k]
+        buf.write(
+            f"EDGE_LINE2D_POINTXY {int(i)} {int(j)} "
+            f"{float(log.edge_linexy_meas[k])!r} {float(log.edge_linexy_info[k])!r}\n"
         )
     for k in range(len(log.edge_se3_ij)):
         i, j = log.edge_se3_ij[k]

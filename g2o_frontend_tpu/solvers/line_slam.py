@@ -43,6 +43,56 @@ class LineGraph(NamedTuple):
     fixed: jnp.ndarray
 
 
+def line_graph_from_log(log, dtype=jnp.float32):
+    """Build a `LineGraph` from a parsed .g2o with VERTEX_LINE2D /
+    EDGE_SE2_LINE2D records (the `line_alignment` output graphs, e.g.
+    `datasets/2D/martina/*`). Returns (graph, pose_ids, line_ids)."""
+    pose_ids = np.asarray(log.se2_ids, np.int64)
+    line_ids = np.asarray(log.line2d_ids, np.int64)
+    pid = {int(v): k for k, v in enumerate(pose_ids)}
+    lid = {int(v): k for k, v in enumerate(line_ids)}
+
+    pp_ij = np.array(
+        [[pid[int(i)], pid[int(j)]] for i, j in log.edge_se2_ij
+         if int(i) in pid and int(j) in pid], np.int32,
+    ).reshape(-1, 2)
+    pp_meas = np.asarray(log.edge_se2_meas, np.float64).reshape(-1, 3)
+    pp_info = np.asarray(log.edge_se2_info, np.float64).reshape(-1, 3, 3)
+
+    keep = [k for k, (i, j) in enumerate(log.edge_se2line_ij)
+            if int(i) in pid and int(j) in lid]
+    pl_ij = np.array(
+        [[pid[int(log.edge_se2line_ij[k][0])], lid[int(log.edge_se2line_ij[k][1])]]
+         for k in keep], np.int32,
+    ).reshape(-1, 2)
+    pl_meas = np.asarray(log.edge_se2line_meas, np.float64)[keep].reshape(-1, 2)
+    pl_info = np.asarray(log.edge_se2line_info, np.float64)[keep].reshape(-1, 2, 2)
+
+    fixed = np.zeros(len(pose_ids), bool)
+    for v in log.fixed_ids:
+        if int(v) in pid:
+            fixed[pid[int(v)]] = True
+    if not fixed.any() and len(fixed):
+        fixed[0] = True
+
+    g = LineGraph(
+        poses=jnp.asarray(log.se2_poses, dtype),
+        pose_mask=jnp.ones(len(pose_ids), bool),
+        lines=jnp.asarray(log.line2d_params, dtype),
+        line_mask=jnp.ones(len(line_ids), bool),
+        pp_ij=jnp.asarray(pp_ij),
+        pp_meas=jnp.asarray(pp_meas, dtype),
+        pp_info=jnp.asarray(pp_info, dtype),
+        pp_mask=jnp.ones(len(pp_ij), bool),
+        pl_ij=jnp.asarray(pl_ij),
+        pl_meas=jnp.asarray(pl_meas, dtype),
+        pl_info=jnp.asarray(pl_info, dtype),
+        pl_mask=jnp.ones(len(pl_ij), bool),
+        fixed=jnp.asarray(fixed),
+    )
+    return g, pose_ids, line_ids
+
+
 def line_observation(pose, line):
     """World line -> local line seen from pose [x, y, th]."""
     alpha, rho = line[0], line[1]

@@ -103,3 +103,43 @@ class TestLineSlam2D:
             da = abs((back[0] - local[0] + np.pi) % (2 * np.pi) - np.pi)
         assert da < 1e-5
         np.testing.assert_allclose(back[1], local[1], atol=1e-5)
+
+
+MARTINA = "/root/reference/datasets/2D/martina/newtest_segway1_no_bag/aligned_unmerged.g2o"
+
+
+@pytest.mark.skipif(not os.path.isfile(MARTINA), reason="dataset missing")
+def test_martina_line_graph_parses_and_optimizes():
+    """Real line_alignment output graph (VERTEX_LINE2D / VERTEX_EXTREME_XY /
+    EDGE_SE2_LINE2D / EDGE_LINE2D_POINTXY records)."""
+    from g2o_frontend_tpu.io.g2o import read_g2o, write_g2o
+    from g2o_frontend_tpu.solvers.line_slam import (
+        line_graph_from_log, optimize_line_graph)
+
+    log = read_g2o(MARTINA)
+    assert len(log.line2d_ids) == 166
+    assert len(log.extreme_ids) == 215
+    assert len(log.edge_se2line_ij) == 210
+    assert len(log.edge_linexy_ij) == 420
+    # endpoint references resolve to extreme-point vertices
+    ep = set(log.extreme_ids.tolist())
+    assert all(int(a) in ep and int(b) in ep for a, b in log.line2d_endpoints)
+
+    g, _, _ = line_graph_from_log(log)
+    g2, trace = optimize_line_graph(g, iters=8, cg_iters=60)
+    tr = np.asarray(trace)
+    assert tr[-1] <= tr[0] * 0.8  # substantial chi2 reduction
+
+    # line records survive a write/read round trip
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".g2o", delete=False) as fh:
+        path = fh.name
+    write_g2o(path, log)
+    back = read_g2o(path)
+    np.testing.assert_allclose(back.line2d_params, log.line2d_params, rtol=1e-9)
+    np.testing.assert_array_equal(back.line2d_endpoints, log.line2d_endpoints)
+    np.testing.assert_allclose(back.extreme_points, log.extreme_points, rtol=1e-9)
+    np.testing.assert_allclose(back.edge_se2line_meas, log.edge_se2line_meas, rtol=1e-9)
+    np.testing.assert_allclose(back.edge_linexy_meas, log.edge_linexy_meas, rtol=1e-9)
+    os.unlink(path)
