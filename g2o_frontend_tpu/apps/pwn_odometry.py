@@ -30,7 +30,7 @@ def main(argv=None):
     ap.add_argument("--sensor", default="kinect")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--conf", help="boss pipeline .conf (reference format)")
-    ap.add_argument("--kf-fraction", type=float, default=0.4)
+    ap.add_argument("--kf-fraction", type=float, default=None)
     ap.add_argument(
         "--scan",
         action="store_true",
@@ -63,6 +63,8 @@ def main(argv=None):
         proj = pipe.scaled_projector()
         ccfg = pipe.converter_config
         acfg = pipe.aligner_config
+        if pipe.tracker_config is not None and args.kf_fraction is None:
+            args.kf_fraction = pipe.tracker_config.new_frame_inliers_fraction
     elif args.synthetic:
         from ..utils.synth import default_projector
 
@@ -83,6 +85,8 @@ def main(argv=None):
         )
         acfg = AlignerConfig(outer_iterations=10)
 
+    if args.kf_fraction is None:
+        args.kf_fraction = 0.4
     tracker = PwnTracker(
         proj, ccfg, acfg,
         PwnTrackerConfig(new_frame_inliers_fraction=args.kf_fraction),

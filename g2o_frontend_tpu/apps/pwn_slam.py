@@ -54,6 +54,10 @@ def main(argv=None):
         proj = pipe.scaled_projector()
         ccfg = pipe.converter_config
         acfg = pipe.aligner_config
+        if pipe.closer_config is not None:
+            closer_cfg = pipe.closer_config
+        if pipe.tracker_config is not None and args.kf_fraction is None:
+            args.kf_fraction = pipe.tracker_config.new_frame_inliers_fraction
     elif args.synthetic:
         from ..utils.synth import default_projector
 

@@ -184,6 +184,118 @@ class MatcherSpec:
         )
 
 
+@boss.register(name="PwnTracker")
+@dataclass
+class TrackerSpec:
+    name: str = ""
+    manager: Any = None
+    matcher: Any = None
+    cache: Any = None
+    topic: str = ""
+    minCloudInliers: int = 3000
+    newFrameCloudInliersFraction: float = 0.4
+    frameMinNonZeroThreshold: int = 3000
+    frameMaxOutliersThreshold: int = 1000
+    frameMinInliersThreshold: int = 3000
+
+    def build(self):
+        from ..slam.pwn_tracker import PwnTrackerConfig
+
+        slots = 50
+        if self.cache is not None:
+            slots = int(getattr(self.cache, "maxSlots", slots))
+        return PwnTrackerConfig(
+            new_frame_inliers_fraction=float(self.newFrameCloudInliersFraction),
+            min_cloud_inliers=int(self.minCloudInliers),
+            cache_slots=slots,
+        )
+
+
+@boss.register(name="PwnCloser")
+@dataclass
+class CloserSpec:
+    name: str = ""
+    manager: Any = None
+    matcher: Any = None
+    cache: Any = None
+    poseAcceptanceCriterion: Any = None
+    relationSelector: Any = None
+    consensusInlierTranslationalThreshold: float = 0.5
+    consensusInlierRotationalThreshold: float = 0.261799
+    consensusMinTimesCheckedThreshold: int = 3
+    frameMinNonZeroThreshold: int = 3000
+    frameMaxOutliersThreshold: int = 100
+    frameMinInliersThreshold: int = 3000
+    closureClampingDistance: float = 0.5
+
+    def build(self):
+        from ..slam.map_closer import CloserConfig
+
+        kw = {}
+        crit = self.poseAcceptanceCriterion
+        if crit is not None and hasattr(crit, "translationalDistance"):
+            kw["translational_distance"] = float(crit.translationalDistance)
+            kw["rotational_distance"] = float(
+                getattr(crit, "rotationalDistance", 0.785398)
+            )
+        return CloserConfig(
+            consensus_inlier_translational_threshold=float(
+                self.consensusInlierTranslationalThreshold
+            ),
+            consensus_inlier_rotational_threshold=float(
+                self.consensusInlierRotationalThreshold
+            ),
+            consensus_min_times_checked=int(self.consensusMinTimesCheckedThreshold),
+            frame_min_nonzero_threshold=int(self.frameMinNonZeroThreshold),
+            frame_max_outliers_threshold=int(self.frameMaxOutliersThreshold),
+            frame_min_inliers_threshold=int(self.frameMinInliersThreshold),
+            closure_clamping_distance=float(self.closureClampingDistance),
+            **kw,
+        )
+
+
+@boss.register(name="PwnCloudCache")
+@dataclass
+class CloudCacheSpec:
+    converter: Any = None
+    scale: int = 1
+    topic: str = ""
+    minSlots: int = 50
+    maxSlots: int = 50
+
+
+@boss.register(name="DistancePoseAcceptanceCriterion")
+@dataclass
+class DistanceCriterionSpec:
+    manager: Any = None
+    translationalDistance: float = 3.0
+    rotationalDistance: float = 0.785398
+
+
+@boss.register(name="ManifoldVoronoiExtractor")
+@dataclass
+class ManifoldVoronoiSpec:
+    name: str = ""
+    manager: Any = None
+    cache: Any = None
+    resolution: float = 0.2
+    xSize: int = 100
+    ySize: int = 100
+    normalThreshold: float = 0.64
+    dequeSize: int = 30
+
+    def build(self):
+        from ..slam.manifold_voronoi import ManifoldVoronoiConfig
+
+        return ManifoldVoronoiConfig(
+            resolution=float(self.resolution),
+            x_size=int(self.xSize),
+            y_size=int(self.ySize),
+            normal_threshold=float(self.normalThreshold),
+            deque_size=int(self.dequeSize),
+        )
+
+
 @dataclass
 class PwnPipeline:
     """Fully-wired PWN processing spec from a config file."""
@@ -192,6 +304,9 @@ class PwnPipeline:
     converter_config: ConverterConfig
     aligner_config: AlignerConfig
     scale: int = 1
+    tracker_config: Any = None  # PwnTrackerConfig | None
+    closer_config: Any = None  # CloserConfig | None
+    voronoi_config: Any = None  # ManifoldVoronoiConfig | None
     extras: dict = field(default_factory=dict)
 
     def scaled_projector(self) -> PinholeProjector:
@@ -217,10 +332,20 @@ def load_pipeline(path) -> PwnPipeline:
         "by_name": de.by_name,
         "objects": objs,
     }
+    tracker = next((o for o in objs if isinstance(o, TrackerSpec)), None)
+    closer = next((o for o in objs if isinstance(o, CloserSpec)), None)
+    voronoi = next((o for o in objs if isinstance(o, ManifoldVoronoiSpec)), None)
+    cache = next((o for o in objs if isinstance(o, CloudCacheSpec)), None)
+    scale = int(matcher.scale) if matcher is not None else 1
+    if cache is not None:
+        scale = max(scale, int(cache.scale))
     return PwnPipeline(
         projector=conv.build_projector(),
         converter_config=conv.build_config(),
         aligner_config=al_cfg,
-        scale=int(matcher.scale) if matcher is not None else 1,
+        scale=scale,
+        tracker_config=tracker.build() if tracker is not None else None,
+        closer_config=closer.build() if closer is not None else None,
+        voronoi_config=voronoi.build() if voronoi is not None else None,
         extras=extras,
     )
