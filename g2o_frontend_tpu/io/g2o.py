@@ -302,8 +302,6 @@ def _read_g2o_native(path: str) -> G2OLog | None:
                 data = fh.read()
     except OSError:
         return None
-    if b"VERTEX_LINE2D" in data or b"VERTEX_EXTREME_XY" in data:
-        return None  # line-SLAM records: only the Python parser knows them
     t = parse_g2o_bytes(data)
     if t is None:
         return None
@@ -353,6 +351,18 @@ def _read_g2o_native(path: str) -> G2OLog | None:
         edge_se3_ij=t["edge_se3"][:, 0:2].astype(np.int64),
         edge_se3_meas=t["edge_se3"][:, 2:9],
         edge_se3_info=sym(t["edge_se3"][:, 9:30], 6),
+        line2d_ids=t["vertex_line2d"][:, 0].astype(np.int64),
+        line2d_params=t["vertex_line2d"][:, 1:3],
+        line2d_endpoints=t["vertex_line2d"][:, 3:5].astype(np.int64),
+        extreme_ids=t["vertex_extreme"][:, 0].astype(np.int64),
+        extreme_points=t["vertex_extreme"][:, 1:3],
+        extreme_density=t["vertex_extreme"][:, 3],
+        edge_se2line_ij=t["edge_se2_line2d"][:, 0:2].astype(np.int64),
+        edge_se2line_meas=t["edge_se2_line2d"][:, 2:4],
+        edge_se2line_info=sym(t["edge_se2_line2d"][:, 4:7], 2),
+        edge_linexy_ij=t["edge_line2d_xy"][:, 0:2].astype(np.int64),
+        edge_linexy_meas=t["edge_line2d_xy"][:, 2],
+        edge_linexy_info=t["edge_line2d_xy"][:, 3],
         fixed_ids=np.asarray(
             sorted({int(v) for v in t["fixed"].reshape(-1)}), np.int64
         ),

@@ -50,6 +50,10 @@ class _G2OResult(ctypes.Structure):
             "features",
             "laser_meta",
             "laser_ranges",
+            "vertex_line2d",
+            "vertex_extreme",
+            "edge_se2_line2d",
+            "edge_line2d_xy",
         )
     ]
 
@@ -66,6 +70,17 @@ def load_library():
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
+        # ABI check: rebuild stale libraries from older source revisions
+        try:
+            lib.fastg2o_abi.restype = ctypes.c_long
+            abi = int(lib.fastg2o_abi())
+        except AttributeError:
+            abi = 1
+        if abi != 2:
+            del lib
+            if not _build():
+                return None
+            lib = ctypes.CDLL(_LIB_PATH)
         lib.fastg2o_parse.restype = ctypes.POINTER(_G2OResult)
         lib.fastg2o_parse.argtypes = [ctypes.c_char_p, ctypes.c_long]
         lib.fastg2o_free.argtypes = [ctypes.POINTER(_G2OResult)]

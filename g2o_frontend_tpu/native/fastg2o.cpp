@@ -12,7 +12,9 @@
 // Record coverage matches io/g2o.py: VERTEX_SE2, VERTEX_XY,
 // VERTEX_SE3:QUAT, EDGE_SE2, EDGE_SE2_XY, EDGE_SE3:QUAT, FIX,
 // PARAMS_SE3OFFSET, LASER_ROBOT_DATA (variable-length ranges flattened with
-// per-scan offsets), DATA_FEATURE_POINTXY (attached to the last vertex).
+// per-scan offsets), DATA_FEATURE_POINTXY (attached to the last vertex),
+// and the line-SLAM records VERTEX_LINE2D, VERTEX_EXTREME_XY,
+// EDGE_SE2_LINE2D, EDGE_LINE2D_POINTXY (g2o_line_addons graphs).
 
 #include <cstdlib>
 #include <cstring>
@@ -73,7 +75,13 @@ struct G2OResult {
   CTable features;      // vertex x y i11 i12 i22
   CTable laser_meta;    // vertex paramIdx firstAngle fov res maxr acc offset n
   CTable laser_ranges;  // flat
+  CTable vertex_line2d;   // id theta rho p1 p2
+  CTable vertex_extreme;  // id x y density
+  CTable edge_se2_line2d; // i j dth drho i11 i12 i22
+  CTable edge_line2d_xy;  // i j meas info
 };
+
+extern "C" long fastg2o_abi() { return 2; }
 
 static void fill(CTable& c, Table& t) {
   c.rows = t.rows();
@@ -88,7 +96,8 @@ static void fill(CTable& c, Table& t) {
 
 G2OResult* fastg2o_parse(const char* buf, long len) {
   Table v2{{}, 4}, vxy{{}, 3}, v3{{}, 8}, e2{{}, 11}, exy{{}, 7}, e3{{}, 30},
-      fx{{}, 1}, pr{{}, 8}, ft{{}, 6}, lm{{}, 9}, lr{{}, 1};
+      fx{{}, 1}, pr{{}, 8}, ft{{}, 6}, lm{{}, 9}, lr{{}, 1},
+      vl{{}, 5}, vx{{}, 4}, esl{{}, 7}, elx{{}, 4};
   const char* p = buf;
   const char* end = buf + len;
   double last_vertex = -1;
@@ -141,6 +150,34 @@ G2OResult* fastg2o_parse(const char* buf, long len) {
     } else if (tok_is(tok, tl, "EDGE_SE3:QUAT") || tok_is(tok, tl, "EDGE_SE3")) {
       if (read_n(30, vals))
         e3.data.insert(e3.data.end(), vals.begin(), vals.end());
+    } else if (tok_is(tok, tl, "VERTEX_LINE2D")) {
+      // id theta rho [p1 p2]
+      if (read_n(3, vals)) {
+        last_vertex = vals[0];
+        double p1 = -1, p2 = -1;
+        const char* t; long l;
+        if (next_tok(p, end, t, l)) { p1 = to_d(t, l);
+          if (next_tok(p, end, t, l)) p2 = to_d(t, l); }
+        vl.data.insert(vl.data.end(), vals.begin(), vals.end());
+        vl.data.push_back(p1);
+        vl.data.push_back(p2);
+      }
+    } else if (tok_is(tok, tl, "VERTEX_EXTREME_XY")) {
+      // id x y [density]
+      if (read_n(3, vals)) {
+        last_vertex = vals[0];
+        double den = 1.0;
+        const char* t; long l;
+        if (next_tok(p, end, t, l)) den = to_d(t, l);
+        vx.data.insert(vx.data.end(), vals.begin(), vals.end());
+        vx.data.push_back(den);
+      }
+    } else if (tok_is(tok, tl, "EDGE_SE2_LINE2D")) {
+      if (read_n(7, vals))
+        esl.data.insert(esl.data.end(), vals.begin(), vals.end());
+    } else if (tok_is(tok, tl, "EDGE_LINE2D_POINTXY")) {
+      if (read_n(4, vals))
+        elx.data.insert(elx.data.end(), vals.begin(), vals.end());
     } else if (tok_is(tok, tl, "FIX")) {
       const char* t;
       long l;
@@ -191,13 +228,17 @@ G2OResult* fastg2o_parse(const char* buf, long len) {
   fill(r->features, ft);
   fill(r->laser_meta, lm);
   fill(r->laser_ranges, lr);
+  fill(r->vertex_line2d, vl);
+  fill(r->vertex_extreme, vx);
+  fill(r->edge_se2_line2d, esl);
+  fill(r->edge_line2d_xy, elx);
   return r;
 }
 
 void fastg2o_free(G2OResult* r) {
   if (!r) return;
   CTable* ts = (CTable*)r;
-  for (int i = 0; i < 11; i++)
+  for (int i = 0; i < 15; i++)
     if (ts[i].data) free(ts[i].data);
   free(r);
 }

@@ -53,3 +53,24 @@ class TestNativeParity:
         read_g2o(path, native=False)
         t_py = time.perf_counter() - t0
         assert t_nat < t_py, (t_nat, t_py)
+
+
+def test_native_parses_line_records():
+    """Native tokenizer covers the g2o_line_addons records (ABI v2)."""
+    import numpy as np
+
+    from g2o_frontend_tpu.io.g2o import read_g2o
+
+    path = "/root/reference/datasets/2D/martina/newtest_segway1_no_bag/aligned_unmerged.g2o"
+    if not os.path.isfile(path):
+        import pytest
+
+        pytest.skip("dataset missing")
+    a = read_g2o(path, native=True)
+    b = read_g2o(path, native=False)
+    assert len(a.line2d_ids) == 166
+    np.testing.assert_allclose(a.line2d_params, b.line2d_params)
+    np.testing.assert_array_equal(a.line2d_endpoints, b.line2d_endpoints)
+    np.testing.assert_allclose(a.extreme_points, b.extreme_points)
+    np.testing.assert_allclose(a.edge_se2line_info, b.edge_se2line_info)
+    np.testing.assert_allclose(a.edge_linexy_meas, b.edge_linexy_meas)
