@@ -91,6 +91,59 @@ def cmd_to_se2(args):
     return 0
 
 
+def cmd_add_imu(args):
+    """IMU attachments -> EDGE_SE3_PRIOR orientation priors
+    (``sensor_data/add_imu.cpp:54-130``): per vertex with IMU data, add a
+    prior whose rotation is the (sign-normalized) IMU quaternion and whose
+    translation copies the vertex estimate; information = identity for the
+    first vertex (gauge), 1000*I on the rotation block otherwise.
+    --synthesize first creates noise-free IMU records from the vertex
+    orientations (a perfect-IMU log), so the tool runs on the bundled
+    IMU-less datasets too."""
+    import numpy as np
+
+    from ..io.g2o import read_g2o, write_g2o
+
+    log = read_g2o(args.graph)
+    if args.synthesize and len(log.imu_vertex_ids) == 0:
+        log.imu_vertex_ids = log.se3_ids.copy()
+        log.imu_param = np.zeros(len(log.se3_ids), np.int64)
+        log.imu_quats = log.se3_poses[:, 3:7].copy()
+        log.imu_ang_vel = np.zeros((len(log.se3_ids), 3))
+        log.imu_lin_acc = np.zeros((len(log.se3_ids), 3))
+
+    id2pose = {int(v): log.se3_poses[k] for k, v in enumerate(log.se3_ids)}
+    ids, meas, infos = [], [], []
+    first = True
+    for k, vid in enumerate(log.imu_vertex_ids):
+        vid = int(vid)
+        if vid not in id2pose:
+            continue
+        q = np.asarray(log.imu_quats[k], float)
+        if q[3] < 0:  # sign normalization (add_imu.cpp:103-108)
+            q = -q
+        z = np.zeros(7)
+        z[:3] = id2pose[vid][:3]  # translation from the estimate
+        z[3:7] = q
+        info = np.zeros((6, 6))
+        if first:
+            info = np.eye(6)
+            first = False
+        else:
+            info[3:, 3:] = np.eye(3) * 1000.0
+        ids.append(vid)
+        meas.append(z)
+        infos.append(info)
+
+    log.prior_se3_ids = np.asarray(ids, np.int64)
+    log.prior_se3_param = np.zeros(len(ids), np.int64)
+    log.prior_se3_meas = np.asarray(meas).reshape(-1, 7)
+    log.prior_se3_info = np.asarray(infos).reshape(-1, 6, 6)
+    write_g2o(args.output, log)
+    print(json.dumps({"priors": len(ids), "output": args.output}))
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -101,6 +154,11 @@ def main(argv=None):
     p.add_argument("graph")
     p.add_argument("-o", "--output", default="graphSE2.g2o")
     p.set_defaults(fn=cmd_to_se2)
+    p = sub.add_parser("add-imu")
+    p.add_argument("graph")
+    p.add_argument("-o", "--output", default="graph_imu.g2o")
+    p.add_argument("--synthesize", action="store_true")
+    p.set_defaults(fn=cmd_add_imu)
     p = sub.add_parser("sync")
     p.add_argument("log")
     p.add_argument("-o", "--output", default="synced.boss")

@@ -224,7 +224,12 @@ def graph2d_from_log(
 def graph3d_from_log(log: G2OLog, dtype=jnp.float32) -> tuple[PoseGraph3D, dict]:
     np_ = len(log.se3_ids)
     ep = len(log.edge_se3_ij)
-    NP, EP = _cap(np_), _cap(max(ep, 1))
+    npr = len(getattr(log, "prior_se3_ids", ()))
+    # EDGE_SE3_PRIOR edges (e.g. IMU orientation priors from the add_imu
+    # app) become binary edges to one extra FIXED identity anchor pose —
+    # mathematically identical to the unary prior, no special solver path.
+    np_tot = np_ + (1 if npr else 0)
+    NP, EP = _cap(np_tot), _cap(max(ep + npr, 1))
     id2idx = {int(v): i for i, v in enumerate(log.se3_ids)}
 
     poses = np.zeros((NP, 7))
@@ -239,21 +244,29 @@ def graph3d_from_log(log: G2OLog, dtype=jnp.float32) -> tuple[PoseGraph3D, dict]
         pp_ij[:ep, 1] = [id2idx[int(j)] for j in log.edge_se3_ij[:, 1]]
         pp_z[:ep] = log.edge_se3_meas
         pp_w[:ep] = log.edge_se3_info
+    if npr:
+        anchor = np_  # identity pose appended after the real ones
+        pp_ij[ep : ep + npr, 0] = anchor
+        pp_ij[ep : ep + npr, 1] = [id2idx[int(v)] for v in log.prior_se3_ids]
+        pp_z[ep : ep + npr] = log.prior_se3_meas
+        pp_w[ep : ep + npr] = log.prior_se3_info
 
     fixed = np.zeros(NP, bool)
     for vid in log.fixed_ids:
         if int(vid) in id2idx:
             fixed[id2idx[int(vid)]] = True
-    if ep and not fixed.any():
+    if npr:
+        fixed[np_] = True
+    if (ep or npr) and not fixed.any():
         fixed[0] = True
 
     g = PoseGraph3D(
         poses=jnp.asarray(poses, dtype),
-        pose_mask=jnp.asarray(np.arange(NP) < np_),
+        pose_mask=jnp.asarray(np.arange(NP) < np_tot),
         pp_ij=jnp.asarray(pp_ij),
         pp_meas=jnp.asarray(pp_z, dtype),
         pp_info=jnp.asarray(pp_w, dtype),
-        pp_mask=jnp.asarray(np.arange(EP) < ep),
+        pp_mask=jnp.asarray(np.arange(EP) < ep + npr),
         fixed=jnp.asarray(fixed),
     )
     return g, {"pose_id2idx": id2idx}

@@ -96,6 +96,19 @@ class G2OLog:
     edge_linexy_ij: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.int64))
     edge_linexy_meas: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
     edge_linexy_info: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
+    # EDGE_SE3_PRIOR id paramId meas7 <21 upper-tri info> (g2o slam3d_addons;
+    # produced by the add_imu app, ``sensor_data/add_imu.cpp:96-121``)
+    prior_se3_ids: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    prior_se3_param: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    prior_se3_meas: np.ndarray = field(default_factory=lambda: np.zeros((0, 7), np.float64))
+    prior_se3_info: np.ndarray = field(default_factory=lambda: np.zeros((0, 6, 6), np.float64))
+    # IMU_DATA attachments (``sensor_data/imu_data.cpp:62-127``): per record
+    # (vertex_id, param) + quaternion/angular-velocity/linear-acceleration
+    imu_vertex_ids: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    imu_param: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    imu_quats: np.ndarray = field(default_factory=lambda: np.zeros((0, 4), np.float64))  # xyzw
+    imu_ang_vel: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.float64))
+    imu_lin_acc: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.float64))
     # Fixed vertex ids (gauge)
     fixed_ids: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
     # Attached data
@@ -146,6 +159,8 @@ def read_g2o(path_or_file, native: bool = True) -> G2OLog:
     ex_ids, ex_pts, ex_den = [], [], []
     esl_ij, esl_z, esl_w = [], [], []
     elx_ij, elx_z, elx_w = [], [], []
+    pr_ids, pr_param, pr_z, pr_w = [], [], [], []
+    imu_vid, imu_par, imu_q, imu_w, imu_a = [], [], [], [], []
     fixed = []
     scans: list[LaserScan] = []
     feats = []
@@ -202,6 +217,26 @@ def read_g2o(path_or_file, native: bool = True) -> G2OLog:
                 elx_ij.append([int(tok[1]), int(tok[2])])
                 elx_z.append(float(tok[3]))
                 elx_w.append(float(tok[4]))
+            elif tag == "EDGE_SE3_PRIOR":
+                pr_ids.append(int(tok[1]))
+                pr_param.append(int(tok[2]))
+                pr_z.append([float(v) for v in tok[3:10]])
+                pr_w.append(_sym_from_upper([float(v) for v in tok[10:31]], 6))
+            elif tag == "IMU_DATA":
+                # paramIdx qx qy qz qw, then size-prefixed vectors:
+                # 9 orient-cov, 3 ang-vel, 9 cov, 3 lin-acc, 9 cov
+                # (imu_data.cpp:62-127)
+                imu_vid.append(last_vertex)
+                imu_par.append(int(tok[1]))
+                imu_q.append([float(v) for v in tok[2:6]])
+                k = 6
+                vecs = []
+                while k < len(tok) and len(vecs) < 5:
+                    m = int(float(tok[k]))
+                    vecs.append([float(v) for v in tok[k + 1 : k + 1 + m]])
+                    k += 1 + m
+                imu_w.append(vecs[1] if len(vecs) > 1 else [0.0] * 3)
+                imu_a.append(vecs[3] if len(vecs) > 3 else [0.0] * 3)
             elif tag == "FIX":
                 fixed.extend(int(v) for v in tok[1:])
             elif tag == "PARAMS_SE3OFFSET":
@@ -280,6 +315,15 @@ def read_g2o(path_or_file, native: bool = True) -> G2OLog:
         edge_linexy_ij=np.asarray(elx_ij, np.int64).reshape(-1, 2),
         edge_linexy_meas=np.asarray(elx_z, np.float64),
         edge_linexy_info=np.asarray(elx_w, np.float64),
+        prior_se3_ids=np.asarray(pr_ids, np.int64),
+        prior_se3_param=np.asarray(pr_param, np.int64),
+        prior_se3_meas=np.asarray(pr_z, np.float64).reshape(-1, 7),
+        prior_se3_info=np.asarray(pr_w, np.float64).reshape(-1, 6, 6),
+        imu_vertex_ids=np.asarray(imu_vid, np.int64),
+        imu_param=np.asarray(imu_par, np.int64),
+        imu_quats=np.asarray(imu_q, np.float64).reshape(-1, 4),
+        imu_ang_vel=np.asarray(imu_w, np.float64).reshape(-1, 3),
+        imu_lin_acc=np.asarray(imu_a, np.float64).reshape(-1, 3),
         fixed_ids=np.asarray(sorted(set(fixed)), np.int64),
         laser_scans=scans,
         features=np.asarray(feats, np.float64).reshape(-1, 6),
@@ -302,6 +346,8 @@ def _read_g2o_native(path: str) -> G2OLog | None:
                 data = fh.read()
     except OSError:
         return None
+    if b"EDGE_SE3_PRIOR" in data or b"IMU_DATA" in data:
+        return None  # prior/IMU records: only the Python parser knows them
     t = parse_g2o_bytes(data)
     if t is None:
         return None
@@ -474,6 +520,17 @@ def write_g2o(path, log: G2OLog) -> None:
         buf.write(
             f"EDGE_LINE2D_POINTXY {int(i)} {int(j)} "
             f"{float(log.edge_linexy_meas[k])!r} {float(log.edge_linexy_info[k])!r}\n"
+        )
+    for k in range(len(log.prior_se3_ids)):
+        z = log.prior_se3_meas[k]
+        buf.write(
+            "EDGE_SE3_PRIOR %d %d %s %s\n"
+            % (
+                int(log.prior_se3_ids[k]),
+                int(log.prior_se3_param[k]),
+                " ".join(repr(float(v)) for v in z),
+                _upper(log.prior_se3_info[k]),
+            )
         )
     for k in range(len(log.edge_se3_ij)):
         i, j = log.edge_se3_ij[k]

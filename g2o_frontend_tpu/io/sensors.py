@@ -51,6 +51,35 @@ class Sensor:
         return T
 
 
+@boss.register(name="IMUSensor")
+@dataclass
+class IMUSensor(Sensor):
+    """IMU sensor entry (``boss_map/imu_sensor.h:10-13``)."""
+
+
+@boss.register(name="IMUData")
+@dataclass
+class IMUData:
+    """One IMU measurement (``boss_map/imu_sensor.h:15-44``): orientation
+    quaternion (xyzw) + angular velocity + linear acceleration, each with a
+    3x3 covariance (row-major 9-vectors in the boss log)."""
+
+    topic: str = ""
+    timestamp: float = 0.0
+    sensor: Any = None
+    orientation: Any = None  # (4,) xyzw
+    orientationCovariance: Any = None  # (9,)
+    angularVelocity: Any = None  # (3,)
+    angularVelocityCovariance: Any = None
+    linearAcceleration: Any = None  # (3,)
+    linearAccelerationCovariance: Any = None
+
+    def quaternion(self) -> np.ndarray:
+        q = np.asarray(self.orientation if self.orientation is not None
+                       else [0.0, 0.0, 0.0, 1.0], float)
+        return q / (np.linalg.norm(q) + 1e-12)
+
+
 @dataclass
 class SensorData:
     topic: str

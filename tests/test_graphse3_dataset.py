@@ -66,3 +66,38 @@ def test_se3_to_se2_flatten():
     back = read_g2o(path)
     np.testing.assert_allclose(back.se2_poses, flat.se2_poses, rtol=1e-9)
     os.unlink(path)
+
+
+@pytest.mark.skipif(not os.path.isfile(PATH), reason="dataset missing")
+def test_add_imu_priors_roundtrip_and_optimize(tmp_path):
+    """add_imu equivalent (sensor_data/add_imu.cpp:54-130): synthesized IMU
+    orientation priors become EDGE_SE3_PRIOR records; the solver consumes
+    them as binary edges to a fixed identity anchor."""
+    from g2o_frontend_tpu.apps.boss_tools import main as boss_main
+    from g2o_frontend_tpu.io.g2o import read_g2o as rd
+
+    out = str(tmp_path / "imu.g2o")
+    boss_main(["add-imu", PATH, "--synthesize", "-o", out])
+    log = rd(out)
+    assert len(log.prior_se3_ids) == 452
+    # first prior fixes the gauge with full identity info; rest rotation-only
+    assert np.allclose(log.prior_se3_info[0], np.eye(6))
+    assert np.allclose(log.prior_se3_info[1][:3, :3], 0)
+    assert np.allclose(log.prior_se3_info[1][3:, 3:], np.eye(3) * 1000.0)
+
+    g, _ = graph3d_from_log(log)
+    chi0 = float(pg.chi2_se3(g))
+    g2, stats = pg.optimize_se3(g, iters=5, cg_iters=50)
+    assert float(np.asarray(stats.chi2)[-1]) <= chi0 + 1e-6
+    # orientation priors hold the estimates
+    q0 = log.se3_poses[:, 3:7]
+    q1 = np.asarray(g2.poses)[:452, 3:7]
+    assert np.abs(np.sum(q0 * q1, 1)).min() > 0.999
+
+
+def test_imu_boss_classes():
+    from g2o_frontend_tpu.io.sensors import IMUData, IMUSensor
+
+    d = IMUData(orientation=[0.0, 0.0, 0.0, 2.0])
+    np.testing.assert_allclose(d.quaternion(), [0, 0, 0, 1.0])
+    assert IMUSensor(topic="/imu/data").topic == "/imu/data"
