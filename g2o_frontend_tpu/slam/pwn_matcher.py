@@ -75,6 +75,36 @@ def match_clouds(
     )
 
 
+@partial(jax.jit, static_argnames=("projector", "config"))
+def match_clouds_batch(
+    references: Cloud,
+    current: Cloud,
+    projector: PinholeProjector,
+    initial_guesses,
+    config: AlignerConfig = AlignerConfig(),
+) -> MatcherResult:
+    """Match K candidate reference clouds against one current cloud in ONE
+    program: `vmap` of `match_clouds` over a stacked-leading-axis `Cloud`
+    pytree and (K, 4, 4) initial guesses.
+
+    This is the TPU-native inversion of the reference closer's serial
+    candidate loop (``pwn_closer.cpp:92-110`` calls ``matchFrames`` per
+    candidate): all K alignments share one compiled kernel and fill the chip
+    instead of K dispatches. Callers pad K to a bucket size to bound
+    recompiles (see `MapCloser._process_partition`).
+    """
+    return jax.vmap(
+        lambda ref, guess: match_clouds(ref, current, projector, guess, config)
+    )(references, initial_guesses)
+
+
+def stack_clouds(clouds) -> Cloud:
+    """Stack a list of same-shape `Cloud`s along a new leading axis."""
+    import jax.tree_util as jtu
+
+    return jtu.tree_map(lambda *xs: jnp.stack(xs), *clouds)
+
+
 @partial(jax.jit, static_argnames=("projector", "scale"))
 def make_thumbnails(cloud: Cloud, projector: PinholeProjector, scale: int = 4):
     """Depth + normal thumbnails of a cloud (``pwn_matcher_base.h:48-53``).
