@@ -1,0 +1,459 @@
+"""Fused Pallas TPU aligner iteration: association + gates + linearize.
+
+The direct TPU counterpart of the reference's fused GPU kernel
+(``pwn_cuda/cudaaligner.cu:361-406``, drop-in via ``cualigner.h:8-11``): ONE
+sweep over the current image computes, per pixel,
+
+  project -> integer correspondence -> gather ref attributes -> the four
+  correspondence gates (``correspondencefinder.cpp:20-118``) -> robust
+  point+normal linearization (``linearizer.cpp:17-115``) -> tile-reduced
+  29 partial sums of (Htt, Htr, Hrr, b, chi2, inliers).
+
+Why not a gather: XLA/Mosaic have no fast arbitrary gather on TPU (~3 GB/s
+measured; Mosaic's dynamic_gather is single-(8,128)-tile only). Instead the
+correspondence fetch is reformulated as a *per-tile dynamically offset,
+banded one-hot select*:
+
+- an XLA prologue projects the current points, takes each (TR, TC) tile's
+  mean integer displacement, and block-gathers one (TR+2DV, TC+2DU)
+  reference window per tile (a batched `dynamic_slice` — contiguous block
+  reads, so arbitrary global motion costs one cheap pass), then
+- the Pallas kernel resolves the per-pixel residual displacement (parallax,
+  within-tile flow variation) with a (2*DV+1)x(2*DU+1) select-accumulate
+  window over its pre-sliced reference block — pure VPU multiply-adds on
+  static slices, no dynamic lane addressing on-chip.
+
+Pixels whose residual falls outside the window lose their correspondence
+(they fail the mask, exactly like a failed gate); with the tile-mean
+centering this only happens across strong depth discontinuities. The
+reference point is reconstructed from the gathered depth and the integer
+target pixel — bit-identical to the converter's unprojection
+(``pinholepointprojector.cpp:69-108``).
+
+Layouts: channel-planar f32 (see pwn/cloud.py).
+  cur_packed (20, H, W):  p(0:3) n(3:6) curv(6) valid(7) op(8:14) on(14:20)
+  ref_padded (5, H+2DV, W+2DU): depth, normal, curv (-1 where invalid)
+  params (1, 24) f32: Rinv(0:9) tinv(9:12) R(12:21) t(21:24) where
+  (Rinv, tinv) = invT^-1 maps current points into the reference camera and
+  (R, t) = invT remaps reference attributes into the current frame.
+Output: (29,) sums in the exact order of ``pwn.aligner._linearize_planar``.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+C_CUR = 20
+C_REF = 5
+
+
+def pack_cur(cloud):
+    """Cloud -> (20, H, W) channel-planar."""
+    dtype = cloud.p.dtype
+    return jnp.concatenate(
+        [
+            cloud.p,
+            cloud.n,
+            cloud.curv[None],
+            cloud.valid[None].astype(dtype),
+            cloud.op,
+            cloud.on,
+        ],
+        axis=0,
+    )
+
+
+def pack_ref(cloud):
+    """Cloud -> (5, H, W): depth, normal, curv-or--1 (validity sentinel)."""
+    dtype = cloud.p.dtype
+    curv_sent = jnp.where(cloud.valid, cloud.curv, jnp.asarray(-1.0, dtype))
+    return jnp.concatenate([cloud.p[2:3], cloud.n, curv_sent[None]], axis=0)
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _project_cur(cur_packed, params, *, H, W, fx, fy, cx, cy, min_d, max_d):
+    """XLA prologue: per-pixel integer target coords + validity."""
+    cpx, cpy, cpz = cur_packed[0], cur_packed[1], cur_packed[2]
+    cvalid = cur_packed[7] > 0
+    prm = params[0]
+    qx = prm[0] * cpx + prm[1] * cpy + prm[2] * cpz + prm[9]
+    qy = prm[3] * cpx + prm[4] * cpy + prm[5] * cpz + prm[10]
+    qz = prm[6] * cpx + prm[7] * cpy + prm[8] * cpz + prm[11]
+    safe_z = jnp.where(qz == 0, 1e-9, qz)
+    uf = qx / safe_z * fx + cx
+    vf = qy / safe_z * fy + cy
+    ui = jnp.round(uf).astype(jnp.int32)
+    vi = jnp.round(vf).astype(jnp.int32)
+    Hp_c, Wp_c = cur_packed.shape[1], cur_packed.shape[2]
+    vglob = jax.lax.broadcasted_iota(jnp.int32, (Hp_c, Wp_c), 0)
+    uglob = jax.lax.broadcasted_iota(jnp.int32, (Hp_c, Wp_c), 1)
+    inside = (
+        cvalid
+        & (qz > min_d)
+        & (qz < max_d)
+        & (ui >= 0)
+        & (ui < W)
+        & (vi >= 0)
+        & (vi < H)
+        & (vglob < H)
+        & (uglob < W)
+    )
+    return ui, vi, inside, vglob, uglob
+
+
+def _tile_starts(ui, vi, inside, vglob, uglob, *, TR, TC, DV, DU, H, W):
+    """Per-tile clamped reference-window starts (gR, gC) from mean flow."""
+    Hp_c, Wp_c = ui.shape
+    gR, gC = Hp_c // TR, Wp_c // TC
+    insf = inside.astype(jnp.float32)
+
+    def tile_mean(x):
+        x4 = (x.astype(jnp.float32) * insf).reshape(gR, TR, gC, TC)
+        return x4.sum((1, 3))
+
+    cnt = jnp.maximum(insf.reshape(gR, TR, gC, TC).sum((1, 3)), 1.0)
+    ovf = tile_mean(vi - vglob) / cnt
+    ouf = tile_mean(ui - uglob) / cnt
+    ov = jnp.floor(ovf + 0.5).astype(jnp.int32)
+    ou = jnp.floor(ouf + 0.5).astype(jnp.int32)
+    row0 = (jnp.arange(gR, dtype=jnp.int32) * TR)[:, None]
+    col0 = (jnp.arange(gC, dtype=jnp.int32) * TC)[None, :]
+    Hp = H + 2 * DV
+    Wp = W + 2 * DU
+    vstart = jnp.clip(row0 + ov, 0, Hp - (TR + 2 * DV))
+    ustart = jnp.clip(col0 + ou, 0, Wp - (TC + 2 * DU))
+    return vstart, ustart
+
+
+def _gather_blocks(ref_padded, vstart, ustart, *, TR, TC, DV, DU):
+    """Batched contiguous block gather: (gR, gC, 5, TR+2DV, TC+2DU)."""
+    gR, gC = vstart.shape
+    BR, BC = TR + 2 * DV, TC + 2 * DU
+
+    def one(vs, us):
+        return jax.lax.dynamic_slice(ref_padded, (0, vs, us), (C_REF, BR, BC))
+
+    blocks = jax.vmap(one)(vstart.reshape(-1), ustart.reshape(-1))
+    return blocks.reshape(gR, gC, C_REF, BR, BC)
+
+
+def _kernel(
+    params_ref,
+    start_ref,
+    cur_ref,
+    blk_ref,
+    out_ref,
+    *,
+    TR,
+    TC,
+    DV,
+    DU,
+    H,
+    W,
+    fx,
+    fy,
+    cx,
+    cy,
+    min_d,
+    max_d,
+    nthr,
+    dthr2,
+    cthr,
+    rthr,
+    max_chi2,
+    robust,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    row0 = i * TR
+    col0 = j * TC
+    f32 = jnp.float32
+
+    prm = [params_ref[0, k] for k in range(24)]  # SMEM scalar loads
+    vstart = start_ref[i, j, 0]
+    ustart = start_ref[i, j, 1]
+
+    x = cur_ref[0]  # (C_CUR, TR, TC)
+    cpx, cpy, cpz = x[0], x[1], x[2]
+    cnx, cny, cnz = x[3], x[4], x[5]
+    ccurv = x[6]
+    cvalid = x[7] > 0
+    op = tuple(x[8 + k] for k in range(6))
+    on = tuple(x[14 + k] for k in range(6))
+
+    # -- project current points into the reference camera (same formula as
+    #    the XLA prologue so the tile offsets are consistent) ----------------
+    qx = prm[0] * cpx + prm[1] * cpy + prm[2] * cpz + prm[9]
+    qy = prm[3] * cpx + prm[4] * cpy + prm[5] * cpz + prm[10]
+    qz = prm[6] * cpx + prm[7] * cpy + prm[8] * cpz + prm[11]
+    safe_z = jnp.where(qz == 0, f32(1e-9), qz)
+    uf = qx / safe_z * f32(fx) + f32(cx)
+    vf = qy / safe_z * f32(fy) + f32(cy)
+    ui = jnp.round(uf).astype(jnp.int32)
+    vi = jnp.round(vf).astype(jnp.int32)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 1)
+    inside = (
+        cvalid
+        & (qz > f32(min_d))
+        & (qz < f32(max_d))
+        & (ui >= 0)
+        & (ui < W)
+        & (vi >= 0)
+        & (vi < H)
+        & (row0 + iota_r < H)
+        & (col0 + iota_c < W)
+    )
+
+    # per-pixel residual target within the tile's ref block: the hit at
+    # window position (dy, dx) selects block row r+dy, col c+dx, so a pixel
+    # at tile-local (r, c) hits iff rdv == dy and rdu == dx
+    rdv = vi + DV - vstart - iota_r
+    rdu = ui + DU - ustart - iota_c
+
+    def scan_dy(dy, accs):
+        hv = rdv == dy
+        sub = blk_ref[0, 0, :, pl.ds(dy, TR), :]  # (C_REF, TR, TC + 2*DU)
+        for dx in range(2 * DU + 1):
+            hf = (hv & (rdu == dx)).astype(f32)
+            s = sub[:, :, dx : dx + TC]
+            accs = (
+                accs[0] + hf * s[0],
+                accs[1] + hf * s[1],
+                accs[2] + hf * s[2],
+                accs[3] + hf * s[3],
+                accs[4] + hf * s[4],
+                accs[5] + hf,
+            )
+        return accs
+
+    zero6 = tuple(jnp.zeros((TR, TC), f32) for _ in range(6))
+    accd, accnx, accny, accnz, accc, acch = jax.lax.fori_loop(
+        0, 2 * DV + 1, scan_dy, zero6
+    )
+
+    # -- reconstruct the reference point from depth + integer pixel ----------
+    uif = ui.astype(f32)
+    vif = vi.astype(f32)
+    rpx = (uif - f32(cx)) / f32(fx) * accd
+    rpy = (vif - f32(cy)) / f32(fy) * accd
+    rpz = accd
+
+    # -- gates (correspondencefinder.cpp:60-103), in the current frame -------
+    px = prm[12] * rpx + prm[13] * rpy + prm[14] * rpz + prm[21]
+    py = prm[15] * rpx + prm[16] * rpy + prm[17] * rpz + prm[22]
+    pz = prm[18] * rpx + prm[19] * rpy + prm[20] * rpz + prm[23]
+    nx = prm[12] * accnx + prm[13] * accny + prm[14] * accnz
+    ny = prm[15] * accnx + prm[16] * accny + prm[17] * accnz
+    nz = prm[18] * accnx + prm[19] * accny + prm[20] * accnz
+
+    ref_ok = (acch > 0) & (accc >= 0)
+    cur_has_n = cnx * cnx + cny * cny + cnz * cnz > 0
+    ref_has_n = accnx * accnx + accny * accny + accnz * accnz > 0
+    dot = cnx * nx + cny * ny + cnz * nz
+    dist2 = (cpx - px) ** 2 + (cpy - py) ** 2 + (cpz - pz) ** 2
+    rc = jnp.maximum(accc, f32(cthr))
+    cc = jnp.maximum(ccurv, f32(cthr))
+    ratio = (rc + f32(1e-5)) / (cc + f32(1e-5))
+    mask = (
+        inside
+        & ref_ok
+        & cur_has_n
+        & ref_has_n
+        & (dot >= f32(nthr))
+        & (dist2 <= f32(dthr2))
+        & (ratio >= f32(1.0 / rthr))
+        & (ratio <= f32(rthr))
+    )
+
+    # -- linearize (mirror of _linearize_planar) ------------------------------
+    ep = (px - cpx, py - cpy, pz - cpz)
+    en = (nx - cnx, ny - cny, nz - cnz)
+
+    def sym_apply(o, v):
+        return (
+            o[0] * v[0] + o[1] * v[1] + o[2] * v[2],
+            o[1] * v[0] + o[3] * v[1] + o[4] * v[2],
+            o[2] * v[0] + o[4] * v[1] + o[5] * v[2],
+        )
+
+    wp = sym_apply(op, ep)
+    wn = sym_apply(on, en)
+    local_chi2 = (
+        ep[0] * wp[0] + ep[1] * wp[1] + ep[2] * wp[2]
+        + en[0] * wn[0] + en[1] * wn[1] + en[2] * wn[2]
+    )
+    if robust:
+        kscale = jnp.where(
+            local_chi2 > f32(max_chi2),
+            jnp.sqrt(f32(max_chi2) / jnp.maximum(local_chi2, f32(1e-12))),
+            f32(1.0),
+        )
+    else:
+        mask = mask & (local_chi2 <= f32(max_chi2))
+        kscale = jnp.ones_like(local_chi2)
+    m = mask.astype(f32)
+    mk = m * kscale
+
+    z = jnp.zeros_like(px)
+    s = [(z, -2 * pz, 2 * py), (2 * pz, z, -2 * px), (-2 * py, 2 * px, z)]
+    tn = [(z, -2 * nz, 2 * ny), (2 * nz, z, -2 * nx), (-2 * ny, 2 * nx, z)]
+    c = [sym_apply(op, sj) for sj in s]
+    d = [sym_apply(on, tj) for tj in tn]
+
+    def dot3(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    rows = []
+    rows += [m * ch for ch in op]  # Htt upper triangle (6)
+    rows += [m * c[jx][ix] for ix in range(3) for jx in range(3)]  # Htr (9)
+    rows += [
+        m * (dot3(s[ix], c[jx]) + dot3(tn[ix], d[jx]))
+        for ix in range(3)
+        for jx in range(ix, 3)
+    ]  # Hrr upper triangle (6)
+    rows += [mk * wp[k] for k in range(3)]  # b_t
+    crx = py * wp[2] - pz * wp[1] + ny * wn[2] - nz * wn[1]
+    cry = pz * wp[0] - px * wp[2] + nz * wn[0] - nx * wn[2]
+    crz = px * wp[1] - py * wp[0] + nx * wn[1] - ny * wn[0]
+    rows += [2 * mk * crx, 2 * mk * cry, 2 * mk * crz]  # b_r
+    rows += [mk * local_chi2, m]
+
+    sums = jnp.stack([jnp.sum(r) for r in rows])  # (29,)
+    row0_out = jnp.pad(sums, (0, 128 - 29))  # scatter-free (8, 128) build
+    out = jnp.concatenate([row0_out[None], jnp.zeros((7, 128), f32)], axis=0)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += out
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "H", "W", "TR", "TC", "DV", "DU",
+        "fx", "fy", "cx", "cy", "min_d", "max_d",
+        "nthr", "dthr2", "cthr", "rthr", "max_chi2", "robust", "interpret",
+    ),
+)
+def fused_linearize(
+    cur_packed,
+    ref_padded,
+    params,
+    *,
+    H,
+    W,
+    TR=16,
+    TC=128,
+    DV=4,
+    DU=6,
+    fx, fy, cx, cy, min_d, max_d,
+    nthr, dthr2, cthr, rthr, max_chi2,
+    robust=True,
+    interpret=False,
+):
+    """One fused aligner iteration's reductions.
+
+    cur_packed: (20, Hp, Wp) with Hp/Wp multiples of TR/TC (zero-padded).
+    ref_padded: (5, H + 2*DV, W + 2*DU).
+    params: (1, 24) f32 (see module docstring).
+    Returns sums (29,) in _linearize_planar order.
+    """
+    Hp_c, Wp_c = cur_packed.shape[1], cur_packed.shape[2]
+    gR, gC = Hp_c // TR, Wp_c // TC
+
+    ui, vi, inside, vglob, uglob = _project_cur(
+        cur_packed, params, H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
+        min_d=min_d, max_d=max_d,
+    )
+    vstart, ustart = _tile_starts(
+        ui, vi, inside, vglob, uglob, TR=TR, TC=TC, DV=DV, DU=DU, H=H, W=W
+    )
+    blocks = _gather_blocks(ref_padded, vstart, ustart, TR=TR, TC=TC, DV=DV, DU=DU)
+    starts = jnp.stack([vstart, ustart], axis=-1)  # (gR, gC, 2)
+
+    kern = partial(
+        _kernel,
+        TR=TR, TC=TC, DV=DV, DU=DU, H=H, W=W,
+        fx=fx, fy=fy, cx=cx, cy=cy, min_d=min_d, max_d=max_d,
+        nthr=nthr, dthr2=dthr2, cthr=cthr, rthr=rthr,
+        max_chi2=max_chi2, robust=robust,
+    )
+    BR, BC = TR + 2 * DV, TC + 2 * DU
+    out = pl.pallas_call(
+        kern,
+        grid=(gR, gC),
+        in_specs=[
+            pl.BlockSpec((1, 24), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # starts, whole array
+            pl.BlockSpec((1, C_CUR, TR, TC), lambda i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C_REF, BR, BC), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=interpret,
+    )(params, starts, cur_packed[None], blocks)
+    return out[0, :29]
+
+
+def prepare_fused_inputs(reference, current, *, TR=16, TC=128, DV=4, DU=6):
+    """Pack + pad both clouds for fused_linearize. Returns (cur_p, ref_p)."""
+    cur_p = pack_cur(current)
+    H, W = cur_p.shape[1], cur_p.shape[2]
+    Hp, Wp = _round_up(H, TR), _round_up(W, TC)
+    if (Hp, Wp) != (H, W):
+        cur_p = jnp.pad(cur_p, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    ref_p = pack_ref(reference)
+    ref_p = jnp.pad(ref_p, ((0, 0), (DV, DV), (DU, DU)))
+    # padding must read as invalid: set the curv-sentinel channel's border
+    # to -1 (depth-0 padding alone would pass the curvature gates)
+    if DV or DU:
+        Hh, Ww = ref_p.shape[1], ref_p.shape[2]
+        rr = jnp.arange(Hh)
+        cc_ = jnp.arange(Ww)
+        border = (
+            (rr[:, None] < DV) | (rr[:, None] >= Hh - DV)
+            | (cc_[None, :] < DU) | (cc_[None, :] >= Ww - DU)
+        )
+        ref_p = ref_p.at[4].set(jnp.where(border, -1.0, ref_p[4]))
+    return cur_p, ref_p
+
+
+def params_from_invT(invT):
+    """invT (4,4) -> (1, 24) f32 params row [Rinv, tinv, R, t]."""
+    R = invT[:3, :3]
+    t = invT[:3, 3]
+    Rinv = R.T
+    tinv = -Rinv @ t
+    return jnp.concatenate(
+        [Rinv.reshape(-1), tinv, R.reshape(-1), t]
+    ).astype(jnp.float32)[None]
+
+
+def unpack_sums(sums):
+    """(29,) sums -> (H (6,6), b (6,), chi2, inliers) as in the jnp twin."""
+    def sym(v):
+        return jnp.stack(
+            [
+                jnp.stack([v[0], v[1], v[2]]),
+                jnp.stack([v[1], v[3], v[4]]),
+                jnp.stack([v[2], v[4], v[5]]),
+            ]
+        )
+
+    Htt, Htr, Hrr = sym(sums[0:6]), sums[6:15].reshape(3, 3), sym(sums[15:21])
+    Hm = jnp.block([[Htt, Htr], [Htr.T, Hrr]])
+    return Hm, sums[21:27], sums[27], sums[28].astype(jnp.int32)

@@ -1,0 +1,384 @@
+"""Partitioned-state distributed SE2 pose-graph optimization.
+
+SURVEY §7 Phase 6 proper (the structural analog of the reference's map
+partitions ``boss_map/map_utils.cpp:167`` + submaps
+``mapper/graph_slam/sub_map.h``): poses are block-partitioned across the
+device mesh — NOT replicated — together with their Hessian diagonal blocks,
+per-edge linearizations, and all CG state. Each device owns:
+
+- a contiguous block of B = ceil(NP/D) poses (trajectory order, so chain
+  edges stay shard-local),
+- the edges whose lower endpoint falls in its block, with endpoints
+  re-encoded as local slots: [0, B) = own poses, [B, B+G) = ghost slots for
+  remote endpoints (loop closures / block-boundary odometry),
+- the ghost directory: global pose ids of its G ghost slots.
+
+Communication per CG matvec (the halo exchange):
+- `all_gather` of the pose-block search direction (each device reads its
+  ghosts from the gathered field), and
+- one `psum` scatter-reduce of ghost Hessian contributions back to owners.
+Both ride ICI; landmark state (small: L x 2) stays replicated and is psum'd.
+
+Memory per device is O(E/D + NP/D + NL) versus the replicated solver's
+O(E/D + NP + NL) per-edge/diag/CG footprint — see
+``partition_stats()`` for the exact byte accounting, and EVAL.md §5 for the
+measured communication volume.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..graph.store import PoseGraph2D
+from ..solvers import pose_graph as pg
+from ..solvers.pcg import pcg
+from ..utils import lie
+from .mesh import EDGE_AXIS
+
+
+class PartitionedSE2(NamedTuple):
+    """Host-built shard-stacked problem; leading dim D on sharded arrays."""
+
+    poses_blk: np.ndarray  # (D, B, 3)
+    free_p_blk: np.ndarray  # (D, B) f32
+    ghost_ids: np.ndarray  # (D, G) int32 global pose ids (0-padded)
+    pp_ij: np.ndarray  # (D, E, 2) int32 LOCAL slot ids (own < B, ghost >= B)
+    pp_meas: np.ndarray  # (D, E, 3)
+    pp_info: np.ndarray  # (D, E, 3, 3)
+    pp_mask: np.ndarray  # (D, E) bool
+    pl_ij: np.ndarray  # (D, EL, 2) int32 (local pose slot, GLOBAL landmark)
+    pl_meas: np.ndarray  # (D, EL, 2)
+    pl_info: np.ndarray  # (D, EL, 2, 2)
+    pl_mask: np.ndarray  # (D, EL) bool
+    landmarks: np.ndarray  # (NL, 2) replicated
+    free_l: np.ndarray  # (NL,) f32
+    n_poses: int  # true NP (before block padding)
+
+
+def partition_se2(g: PoseGraph2D, n_dev: int) -> PartitionedSE2:
+    """Block-partition a PoseGraph2D over n_dev shards (host-side)."""
+    poses = np.asarray(g.poses)
+    pose_mask = np.asarray(g.pose_mask)
+    fixed = np.asarray(g.fixed)
+    NP = int(pose_mask.sum())
+    B = -(-NP // n_dev)
+    NPp = B * n_dev
+
+    pp_ij = np.asarray(g.pp_ij)
+    pp_mask = np.asarray(g.pp_mask)
+    pl_ij = np.asarray(g.pl_ij)
+    pl_mask = np.asarray(g.pl_mask)
+
+    def shard_of(p):
+        return p // B
+
+    # bucket edges by owner = shard of the lower endpoint
+    own_pp = [[] for _ in range(n_dev)]
+    for k in np.where(pp_mask)[0]:
+        own_pp[shard_of(min(pp_ij[k, 0], pp_ij[k, 1]))].append(k)
+    own_pl = [[] for _ in range(n_dev)]
+    for k in np.where(pl_mask)[0]:
+        own_pl[shard_of(pl_ij[k, 0])].append(k)
+
+    E = max(8, max((len(b) for b in own_pp), default=0))
+    EL = max(8, max((len(b) for b in own_pl), default=0))
+
+    # ghost directory per shard
+    ghosts = []
+    for s in range(n_dev):
+        lo, hi = s * B, (s + 1) * B
+        gset = set()
+        for k in own_pp[s]:
+            for p in pp_ij[k]:
+                if not (lo <= p < hi):
+                    gset.add(int(p))
+        for k in own_pl[s]:
+            p = pl_ij[k, 0]
+            if not (lo <= p < hi):
+                gset.add(int(p))
+        ghosts.append(sorted(gset))
+    G = max(8, max((len(gl) for gl in ghosts), default=0))
+
+    poses_blk = np.zeros((n_dev, B, 3), np.float32)
+    free_p_blk = np.zeros((n_dev, B), np.float32)
+    ghost_ids = np.zeros((n_dev, G), np.int32)
+    pp_ij_l = np.zeros((n_dev, E, 2), np.int32)
+    pp_meas_l = np.zeros((n_dev, E, 3), np.float32)
+    pp_info_l = np.zeros((n_dev, E, 3, 3), np.float32)
+    pp_mask_l = np.zeros((n_dev, E), bool)
+    pl_ij_l = np.zeros((n_dev, EL, 2), np.int32)
+    pl_meas_l = np.zeros((n_dev, EL, 2), np.float32)
+    pl_info_l = np.zeros((n_dev, EL, 2, 2), np.float32)
+    pl_mask_l = np.zeros((n_dev, EL), bool)
+
+    pp_meas = np.asarray(g.pp_meas)
+    pp_info = np.asarray(g.pp_info)
+    pl_meas = np.asarray(g.pl_meas)
+    pl_info = np.asarray(g.pl_info)
+
+    for s in range(n_dev):
+        lo = s * B
+        blk = poses[lo : lo + B]
+        poses_blk[s, : len(blk)] = blk
+        fm = (pose_mask & ~fixed)[lo : lo + B]
+        free_p_blk[s, : len(blk)] = fm.astype(np.float32)
+        gmap = {p: B + r for r, p in enumerate(ghosts[s])}
+        ghost_ids[s, : len(ghosts[s])] = ghosts[s]
+
+        def loc(p):
+            return p - lo if lo <= p < lo + B else gmap[int(p)]
+
+        for r, k in enumerate(own_pp[s]):
+            pp_ij_l[s, r] = (loc(pp_ij[k, 0]), loc(pp_ij[k, 1]))
+            pp_meas_l[s, r] = pp_meas[k]
+            pp_info_l[s, r] = pp_info[k]
+            pp_mask_l[s, r] = True
+        for r, k in enumerate(own_pl[s]):
+            pl_ij_l[s, r] = (loc(pl_ij[k, 0]), pl_ij[k, 1])
+            pl_meas_l[s, r] = pl_meas[k]
+            pl_info_l[s, r] = pl_info[k]
+            pl_mask_l[s, r] = True
+
+    return PartitionedSE2(
+        poses_blk=poses_blk,
+        free_p_blk=free_p_blk,
+        ghost_ids=ghost_ids,
+        pp_ij=pp_ij_l,
+        pp_meas=pp_meas_l,
+        pp_info=pp_info_l,
+        pp_mask=pp_mask_l,
+        pl_ij=pl_ij_l,
+        pl_meas=pl_meas_l,
+        pl_info=pl_info_l,
+        pl_mask=pl_mask_l,
+        landmarks=np.asarray(g.landmarks, np.float32),
+        free_l=np.asarray(g.landmark_mask, np.float32),
+        n_poses=NP,
+    )
+
+
+def partition_stats(p: PartitionedSE2) -> dict:
+    """Per-device memory accounting (bytes) vs the full-graph footprint."""
+    per_dev = 0
+    full = 0
+    for name in ("poses_blk", "free_p_blk", "ghost_ids", "pp_ij", "pp_meas",
+                 "pp_info", "pp_mask", "pl_ij", "pl_meas", "pl_info",
+                 "pl_mask"):
+        a = getattr(p, name)
+        per_dev += a.nbytes // a.shape[0]
+        full += a.nbytes
+    rep = p.landmarks.nbytes + p.free_l.nbytes
+    D, B = p.poses_blk.shape[0], p.poses_blk.shape[1]
+    # CG state: 4 block vectors (x, r, z, p) + aug gather buffer
+    cg_per_dev = 4 * B * 3 * 4 + D * B * 3 * 4
+    return {
+        "devices": D,
+        "block_poses": B,
+        "bytes_sharded_per_device": per_dev,
+        "bytes_replicated_per_device": rep,
+        "bytes_full_graph": full + rep,
+        "bytes_cg_state_per_device": cg_per_dev,
+    }
+
+
+def comm_volume(p: PartitionedSE2, lm_iters: int, cg_matvecs: int) -> dict:
+    """Predicted communication bytes (per device) for a run.
+
+    Per CG matvec: one all_gather of the pose field ((D-1)/D * NPp*3*4 bytes
+    received) + one psum of the ghost-contribution field (2*(D-1)/D * NPp*3*4
+    ring bytes) + one psum of the landmark block + 2 scalar psums (dots).
+    Per LM iteration: gradient + diagonal-block reduces and the chi2 scalar.
+    """
+    D = p.poses_blk.shape[0]
+    NPp = p.poses_blk.shape[0] * p.poses_blk.shape[1]
+    NL = p.landmarks.shape[0]
+    f = (D - 1) / max(D, 1)
+    vec = NPp * 3 * 4
+    lmv = NL * 2 * 4
+    per_matvec = f * vec + 2 * f * vec + 2 * f * lmv
+    per_lm = 2 * f * (vec + NPp * 9 * 4) + 2 * f * lmv
+    return {
+        "bytes_per_matvec": per_matvec,
+        "bytes_per_lm_iter": per_lm,
+        "bytes_total": per_matvec * cg_matvecs + per_lm * lm_iters,
+        "cg_matvecs": cg_matvecs,
+    }
+
+
+def optimize_se2_partitioned(
+    g: PoseGraph2D,
+    mesh,
+    iters: int = 10,
+    cg_iters: int = 100,
+    lm_lambda0: float = 1e-4,
+):
+    """LM over a pose-block partition; returns (graph, chi2_trace, stats).
+
+    Convergence matches `optimize_se2` up to reduction order; state, edges,
+    diagonal blocks and CG vectors are sharded per device.
+    """
+    n_dev = mesh.devices.size
+    part = partition_se2(g, n_dev)
+    B = part.poses_blk.shape[1]
+    G = part.ghost_ids.shape[1]
+    NPp = n_dev * B
+    dtype = jnp.float32
+
+    shard = P(EDGE_AXIS)
+    rep = P()
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            shard,  # poses_blk
+            shard,  # free_p_blk
+            shard,  # ghost_ids
+            shard, shard, shard, shard,  # pp
+            shard, shard, shard, shard,  # pl
+            rep,  # landmarks
+            rep,  # free_l
+        ),
+        out_specs=(shard, rep, rep, rep),
+    )
+    def run(poses_blk, free_p_blk, ghost_ids, pp_ij, pp_meas, pp_info,
+            pp_mask, pl_ij, pl_meas, pl_info, pl_mask, lms0, free_l):
+        # shard_map passes (1, ...) blocks; drop the shard dim
+        poses_blk = poses_blk[0]
+        free_p = free_p_blk[0]
+        gids = ghost_ids[0]
+        pp_ij_l, pp_meas_l = pp_ij[0], pp_meas[0]
+        pp_info_l, pp_mask_l = pp_info[0], pp_mask[0]
+        pl_ij_l, pl_meas_l = pl_ij[0], pl_meas[0]
+        pl_info_l, pl_mask_l = pl_info[0], pl_mask[0]
+        my = jax.lax.axis_index(EDGE_AXIS)
+        own_gids = my * B + jnp.arange(B, dtype=jnp.int32)
+        all_gids = jnp.concatenate([own_gids, gids])
+
+        def gather_aug(v_blk):
+            """(B, d) -> (B+G, d): own block + ghost values (halo read)."""
+            vg = jax.lax.all_gather(v_blk, EDGE_AXIS, tiled=True)  # (NPp, d)
+            return jnp.concatenate([v_blk, vg[gids]], axis=0)
+
+        def ghost_reduce(contrib):
+            """(B+G, ...) -> (B, ...): ghost rows reduced to their owners."""
+            glob = jnp.zeros((NPp,) + contrib.shape[1:], contrib.dtype)
+            glob = glob.at[all_gids].add(contrib)
+            glob = jax.lax.psum(glob, EDGE_AXIS)
+            return jax.lax.dynamic_slice_in_dim(glob, my * B, B, axis=0)
+
+        def local_graph(aug_poses, lms):
+            return PoseGraph2D(
+                poses=aug_poses,
+                pose_mask=jnp.ones(B + G, bool),
+                landmarks=lms,
+                landmark_mask=free_l > 0,
+                pp_ij=pp_ij_l,
+                pp_meas=pp_meas_l,
+                pp_info=pp_info_l,
+                pp_mask=pp_mask_l,
+                pl_ij=pl_ij_l,
+                pl_meas=pl_meas_l,
+                pl_info=pl_info_l,
+                pl_mask=pl_mask_l,
+                fixed=jnp.zeros(B + G, bool),
+            )
+
+        def chi2_of(poses_blk, lms):
+            gk = local_graph(gather_aug(poses_blk), lms)
+            return jax.lax.psum(pg.linearize_se2(gk).chi2, EDGE_AXIS)
+
+        def step(k, state):
+            poses_blk, lms, lam, trace, cg_tot = state
+            aug = gather_aug(poses_blk)
+            gk = local_graph(aug, lms)
+            lin = pg.linearize_se2(gk)
+            chi2 = jax.lax.psum(lin.chi2, EDGE_AXIS)
+            gp_aug, gl = pg._grad_se2(gk, lin)
+            gp = ghost_reduce(gp_aug)
+            gl = jax.lax.psum(gl, EDGE_AXIS)
+            Dp_aug, Dl = pg._diag_blocks_se2(gk, lin)
+            Dp = ghost_reduce(Dp_aug)
+            Dl = jax.lax.psum(Dl, EDGE_AXIS)
+            edge_hvp = pg._hvp_edges_se2(gk, lin)
+
+            def hvp(v):
+                vp, vl = v
+                vp = vp * free_p[:, None]
+                vl = vl * free_l[:, None]
+                hp_aug, hl = edge_hvp((gather_aug(vp), vl))
+                hp = ghost_reduce(hp_aug)
+                hl = jax.lax.psum(hl, EDGE_AXIS)
+                hp = hp + lam * jnp.einsum("kij,kj->ki", Dp, vp)
+                hl = hl + lam * jnp.einsum("kij,kj->ki", Dl, vl)
+                hp = hp * free_p[:, None] + (1.0 - free_p)[:, None] * v[0]
+                hl = hl * free_l[:, None] + (1.0 - free_l)[:, None] * v[1]
+                return (hp, hl)
+
+            precond = pg._block_jacobi_precond(Dp, Dl, free_p, free_l, lam)
+
+            def tree_dot(a, b):
+                (ap, al), (bp, bl) = a, b
+                dp = jnp.vdot(ap, bp)
+                # landmark block is replicated: count it once
+                dl = jnp.where(my == 0, jnp.vdot(al, bl), 0.0)
+                return jax.lax.psum(dp + dl, EDGE_AXIS)
+
+            b = (-gp * free_p[:, None], -gl * free_l[:, None])
+            (dp_, dl_), cg_k, _ = pcg(
+                hvp, b, precond, max_iters=cg_iters, rtol=1e-8,
+                tree_dot=tree_dot,
+            )
+
+            new_poses = poses_blk + dp_ * free_p[:, None]
+            new_poses = new_poses.at[:, 2].set(lie.wrap_angle(new_poses[:, 2]))
+            new_lms = lms + dl_ * free_l[:, None]
+            new_chi2 = chi2_of(new_poses, new_lms)
+            accept = new_chi2 < chi2
+            poses_blk = jnp.where(accept, new_poses, poses_blk)
+            lms = jnp.where(accept, new_lms, lms)
+            lam = jnp.where(
+                accept, jnp.maximum(lam * 0.5, 1e-10), jnp.minimum(lam * 4.0, 1e8)
+            )
+            trace = trace.at[k + 1].set(jnp.where(accept, new_chi2, chi2))
+            return poses_blk, lms, lam, trace, cg_tot + cg_k
+
+        trace0 = jnp.zeros(iters + 1, dtype).at[0].set(chi2_of(poses_blk, lms0))
+        poses_blk, lms, lam, trace, cg_tot = jax.lax.fori_loop(
+            0, iters, step,
+            (poses_blk, lms0, jnp.asarray(lm_lambda0, dtype), trace0,
+             jnp.asarray(0, jnp.int32)),
+        )
+        return poses_blk[None], lms, trace, cg_tot
+
+    poses_blk, lms, trace, cg_tot = jax.jit(run)(
+        jnp.asarray(part.poses_blk),
+        jnp.asarray(part.free_p_blk),
+        jnp.asarray(part.ghost_ids),
+        jnp.asarray(part.pp_ij), jnp.asarray(part.pp_meas),
+        jnp.asarray(part.pp_info), jnp.asarray(part.pp_mask),
+        jnp.asarray(part.pl_ij), jnp.asarray(part.pl_meas),
+        jnp.asarray(part.pl_info), jnp.asarray(part.pl_mask),
+        jnp.asarray(part.landmarks), jnp.asarray(part.free_l),
+    )
+    NP_full = g.poses.shape[0]
+    poses_flat = np.asarray(poses_blk).reshape(-1, 3)[:NP_full]
+    poses_out = jnp.asarray(
+        np.concatenate(
+            [poses_flat,
+             np.asarray(g.poses)[len(poses_flat):]], axis=0)
+        if len(poses_flat) < NP_full else poses_flat
+    )
+    g_out = g.with_poses(poses_out, lms)
+    stats = {
+        "partition": partition_stats(part),
+        "comm": comm_volume(part, iters, int(np.asarray(cg_tot))),
+        "cg_total": int(np.asarray(cg_tot)),
+    }
+    return g_out, trace, stats

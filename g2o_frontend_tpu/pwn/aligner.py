@@ -65,9 +65,20 @@ class AlignerConfig:
     translational_min_eigen_ratio: float = 50.0
     rotational_min_eigen_ratio: float = 50.0
     min_inliers: int = 100
-    # association strategy: "gather" (TPU-fast, cur->ref projective lookup)
-    # or "zbuffer" (reference-parity ref re-render)
-    association: str = "gather"
+    # association strategy:
+    #   "auto"    - "fused" on TPU, "gather" elsewhere
+    #   "fused"   - single Pallas sweep: project -> banded one-hot gather ->
+    #               gates -> linearize (ops/pallas_aligner.py, the analog of
+    #               ``cudaaligner.cu:361-406``)
+    #   "gather"  - XLA take-based cur->ref projective lookup
+    #   "zbuffer" - reference-parity ref re-render (two-pass z-buffer)
+    association: str = "auto"
+    # fused-kernel band: per-pixel residual displacement window (pixels)
+    # around the per-tile mean displacement; tiles are (tile_rows, tile_cols)
+    band_dv: int = 4
+    band_du: int = 6
+    tile_rows: int = 16
+    tile_cols: int = 128
 
 
 class SE3Prior(NamedTuple):
@@ -424,7 +435,45 @@ def align(
     dtype = reference.points.dtype
     T0 = jnp.eye(4, dtype=dtype) if initial_guess is None else initial_guess
 
-    if cfg.association == "gather":
+    association = cfg.association
+    if association == "auto":
+        association = (
+            "fused"
+            if jax.default_backend() == "tpu" and hasattr(projector, "fx")
+            else "gather"
+        )
+
+    if association == "fused":
+        # single Pallas sweep per Gauss-Newton system (ops/pallas_aligner.py)
+        from ..ops import pallas_aligner as _pa
+
+        TR, TC = cfg.tile_rows, cfg.tile_cols
+        DVb, DUb = cfg.band_dv, cfg.band_du
+        cur_p, ref_p = _pa.prepare_fused_inputs(
+            reference, current, TR=TR, TC=TC, DV=DVb, DU=DUb
+        )
+        _interp = jax.default_backend() != "tpu"
+
+        def system_fn(invT):
+            sums = _pa.fused_linearize(
+                cur_p, ref_p, _pa.params_from_invT(invT),
+                H=projector.rows, W=projector.cols,
+                TR=TR, TC=TC, DV=DVb, DU=DUb,
+                fx=projector.fx, fy=projector.fy,
+                cx=projector.cx, cy=projector.cy,
+                min_d=projector.min_distance, max_d=projector.max_distance,
+                nthr=cfg.inlier_normal_angular_threshold,
+                dthr2=cfg.inlier_distance_threshold**2,
+                cthr=cfg.flat_curvature_threshold,
+                rthr=cfg.inlier_curvature_ratio_threshold,
+                max_chi2=cfg.inlier_max_chi2,
+                robust=cfg.robust_kernel,
+                interpret=_interp,
+            )
+            return _pa.unpack_sums(sums)
+
+        assoc_fn = lin_fn = None
+    elif association == "gather":
         # channel-planar hot path (the Cloud storage layout)
 
         def assoc_fn(invT):
@@ -433,6 +482,7 @@ def align(
         def lin_fn(mask, rp, rn, invT):
             return _linearize_planar(mask, rp, rn, current, invT, cfg)
 
+        system_fn = None
     else:
 
         def assoc_fn(invT):
@@ -440,6 +490,8 @@ def align(
 
         def lin_fn(mask, rp, rn, invT):
             return _linearize(mask, rp, rn, current, invT, cfg)
+
+        system_fn = None
 
     def add_priors(H, b, invT):
         if priors is None:
@@ -452,30 +504,52 @@ def align(
         )
         return H + jnp.sum(Hp, 0), b + jnp.sum(bp, 0)
 
-    def outer(i, invT):
-        mask, ref_pts, ref_nrm = assoc_fn(invT)
+    def gn_step(H, b, invT):
+        H = H + cfg.damping * jnp.eye(6, dtype=dtype)
+        H, b = add_priors(H, b, invT)
+        dx = jnp.linalg.solve(H, -b)
+        return lie.se3_v2t(dx) @ invT
 
-        def inner(k, invT):
-            H, b, _, _ = lin_fn(mask, ref_pts, ref_nrm, invT)
-            H = H + cfg.damping * jnp.eye(6, dtype=dtype)
-            H, b = add_priors(H, b, invT)
-            dx = jnp.linalg.solve(H, -b)
-            dT = lie.se3_v2t(dx)
-            return dT @ invT
+    if association == "fused":
 
-        invT = jax.lax.fori_loop(0, cfg.inner_iterations, inner, invT)
-        # re-orthonormalize through the chart (aligner.cpp:117 v2t(t2v(T)))
-        return lie.se3_v2t(lie.se3_t2v(invT))
+        def outer(i, invT):
+            # one fused sweep per Gauss-Newton system; inner iterations
+            # refresh the association too (a superset of the reference's
+            # frozen-correspondence inner loop, aligner.cpp:66-94)
+            def inner(k, invT):
+                H, b, _, _ = system_fn(invT)
+                return gn_step(H, b, invT)
+
+            invT = jax.lax.fori_loop(0, cfg.inner_iterations, inner, invT)
+            return lie.se3_v2t(lie.se3_t2v(invT))
+
+    else:
+
+        def outer(i, invT):
+            mask, ref_pts, ref_nrm = assoc_fn(invT)
+
+            def inner(k, invT):
+                H, b, _, _ = lin_fn(mask, ref_pts, ref_nrm, invT)
+                return gn_step(H, b, invT)
+
+            invT = jax.lax.fori_loop(0, cfg.inner_iterations, inner, invT)
+            # re-orthonormalize through the chart (aligner.cpp:117)
+            return lie.se3_v2t(lie.se3_t2v(invT))
 
     invT0 = lie.se3_inverse(T0)
     invT = jax.lax.fori_loop(0, cfg.outer_iterations, outer, invT0)
     T = lie.se3_inverse(invT)
 
     # ---- statistics at the optimum (aligner.cpp:152-199) ----
-    mask, ref_pts, ref_nrm = assoc_fn(invT)
-    H, b, chi2, inliers = lin_fn(mask, ref_pts, ref_nrm, invT)
+    if association == "fused":
+        H, b, chi2, inliers = system_fn(invT)
+    else:
+        mask, ref_pts, ref_nrm = assoc_fn(invT)
+        H, b, chi2, inliers = lin_fn(mask, ref_pts, ref_nrm, invT)
     H = H + jnp.eye(6, dtype=dtype)
-    local_sigma = jnp.linalg.pinv(H)
+    # H is PD after the +I regularization: solve instead of pinv (pinv's SVD
+    # serializes a tiny op chain on TPU)
+    local_sigma = jnp.linalg.solve(H, jnp.eye(6, dtype=dtype))
 
     # unscented remap of N(0, local_sigma) through p -> t2v(T * v2t(p)^-1)
     dim = 6
@@ -499,12 +573,19 @@ def align(
     mean = jnp.sum(wi_vec[:, None] * samples, 0)
     delta = samples - mean
     sigma = jnp.einsum("k,ki,kj->ij", wp_vec, delta, delta)
-    omega = jnp.linalg.pinv(sigma)
+    omega = jnp.linalg.solve(
+        sigma + 1e-9 * jnp.eye(6, dtype=dtype), jnp.eye(6, dtype=dtype)
+    )
 
-    st = jnp.linalg.svd(omega[:3, :3], compute_uv=False)
-    sr = jnp.linalg.svd(omega[3:, 3:], compute_uv=False)
-    tr_ratio = st[0] / jnp.maximum(st[2], 1e-12)
-    rr_ratio = sr[0] / jnp.maximum(sr[2], 1e-12)
+    # eigenratio gates via the analytic symmetric-3x3 eigenvalues (ascending;
+    # omega blocks are PSD so singular values == eigenvalues) — replaces two
+    # serialized tiny SVDs
+    from ..ops.eigh3x3 import eigvals3x3
+
+    st = eigvals3x3(omega[:3, :3])
+    sr = eigvals3x3(omega[3:, 3:])
+    tr_ratio = st[2] / jnp.maximum(st[0], 1e-12)
+    rr_ratio = sr[2] / jnp.maximum(sr[0], 1e-12)
     valid = (
         (tr_ratio <= cfg.translational_min_eigen_ratio)
         & (rr_ratio <= cfg.rotational_min_eigen_ratio)

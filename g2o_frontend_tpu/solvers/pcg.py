@@ -38,6 +38,7 @@ def pcg(
     *,
     max_iters: int = 100,
     rtol: float = 1e-6,
+    tree_dot: Callable | None = None,
 ):
     """Solve ``H x = b`` with preconditioned CG.
 
@@ -47,15 +48,20 @@ def pcg(
       precond: function r -> M^{-1} r (e.g. block-Jacobi).
       max_iters: fixed trip count (static for jit); early exit via while_loop.
       rtol: relative residual tolerance on sqrt(r.z).
+      tree_dot: optional replacement inner product — a distributed solver
+        passes a psum-reducing dot over sharded block vectors
+        (parallel/partitioned_pose_graph.py).
 
     Returns:
       (x, iters, final_rz)
     """
+    if tree_dot is None:
+        tree_dot = _tree_dot
     x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
     r0 = b  # r = b - H x0 with x0 = 0
     z0 = precond(r0)
     p0 = z0
-    rz0 = _tree_dot(r0, z0)
+    rz0 = tree_dot(r0, z0)
     tol2 = rtol * rtol * jnp.maximum(rz0, 1e-30)
 
     def cond(state):
@@ -65,14 +71,14 @@ def pcg(
     def body(state):
         k, x, r, p, rz = state
         hp = hvp(p)
-        php = _tree_dot(p, hp)
+        php = tree_dot(p, hp)
         alpha = rz / jnp.where(php > 0, php, 1e-30)
         # Guard against a non-PD direction (should not happen with LM damping).
         alpha = jnp.where(php > 0, alpha, 0.0)
         x = _tree_axpy(alpha, p, x)
         r = _tree_axpy(-alpha, hp, r)
         z = precond(r)
-        rz_new = _tree_dot(r, z)
+        rz_new = tree_dot(r, z)
         beta = rz_new / jnp.where(rz > 0, rz, 1e-30)
         p = _tree_axpy(beta, p, z)
         return k + 1, x, r, p, rz_new
