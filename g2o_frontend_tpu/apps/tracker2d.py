@@ -34,13 +34,14 @@ def main(argv=None):
     ap.add_argument("-optimizeEachN", type=int, default=10)
     ap.add_argument("-closeEachN", type=int, default=20)
     ap.add_argument("-maxFrames", type=int, default=0)
+    ap.add_argument("-odometryIsGood", action="store_true")
     args = ap.parse_args(argv)
 
-    import jax.numpy as jnp
+
 
     from ..io.g2o import G2OLog, read_g2o, write_g2o
     from ..slam.feature_tracker import FeatureTracker2D, Tracker2DConfig
-    from ..utils import lie
+
 
     log = read_g2o(args.input)
     feats: dict[int, list] = {}
@@ -59,8 +60,17 @@ def main(argv=None):
         loop_landmark_merge_distance=args.loopLandmarkMergeDistance,
         local_map_size=args.localMapSize,
         optimize_each_n=args.optimizeEachN,
+        odometry_is_good=args.odometryIsGood,
     )
     tr = FeatureTracker2D(cfg)
+
+    def rel_np(a, b):
+        c, s = np.cos(a[2]), np.sin(a[2])
+        d = b[:2] - a[:2]
+        dth = (b[2] - a[2] + np.pi) % (2 * np.pi) - np.pi
+        return np.array(
+            [c * d[0] + s * d[1], -s * d[0] + c * d[1], dth], np.float32
+        )
 
     n_frames = len(log.se2_ids)
     if args.maxFrames:
@@ -72,11 +82,7 @@ def main(argv=None):
         delta = (
             np.zeros(3, np.float32)
             if prev is None
-            else np.asarray(
-                lie.se2_relative(
-                    jnp.asarray(prev, jnp.float32), jnp.asarray(pose, jnp.float32)
-                )
-            )
+            else rel_np(np.asarray(prev), np.asarray(pose))
         )
         prev = pose
         obs = np.asarray(feats.get(vid, np.zeros((0, 2))), np.float32)

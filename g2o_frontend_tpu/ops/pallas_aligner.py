@@ -219,9 +219,10 @@ def _kernel(
     rdv = vi + DV - vstart - iota_r
     rdu = ui + DU - ustart - iota_c
 
-    def scan_dy(dy, accs):
+    def scan_dy(dy, carry):
+        accs, rblk = carry
         hv = rdv == dy
-        sub = blk_ref[0, 0, :, pl.ds(dy, TR), :]  # (C_REF, TR, TC + 2*DU)
+        sub = rblk[:, :TR, :]  # rows [dy, dy+TR) of the original block
         for dx in range(2 * DU + 1):
             hf = (hv & (rdu == dx)).astype(f32)
             s = sub[:, :, dx : dx + TC]
@@ -233,11 +234,15 @@ def _kernel(
                 accs[4] + hf * s[4],
                 accs[5] + hf,
             )
-        return accs
+        # advance the window one row: a static sublane roll (dynamic sublane
+        # slice offsets must be multiples of 8 on TPU; a unit roll is cheap
+        # and never reads wrapped rows before the loop ends)
+        return accs, pltpu.roll(rblk, -1, 1)
 
     zero6 = tuple(jnp.zeros((TR, TC), f32) for _ in range(6))
-    accd, accnx, accny, accnz, accc, acch = jax.lax.fori_loop(
-        0, 2 * DV + 1, scan_dy, zero6
+    blk0 = blk_ref[0, 0]  # (C_REF, TR + 2*DV, TC + 2*DU)
+    (accd, accnx, accny, accnz, accc, acch), _ = jax.lax.fori_loop(
+        0, 2 * DV + 1, scan_dy, (zero6, blk0)
     )
 
     # -- reconstruct the reference point from depth + integer pixel ----------

@@ -104,9 +104,37 @@ class Tracker2DConfig:
     local_optimize_iters: int = 3
     global_optimize_iters: int = 15
     cg_iters: int = 60
+    local_cg_iters: int = 30
     odom_info: tuple = (100.0, 100.0, 1000.0)
     obs_default_info: float = 300.0
+    # -odometryIsGood (tracker_test.cpp:187): trust the odometry prediction
+    # as the pose estimate; RANSAC only validates correspondences and never
+    # overrides the pose (optimization corrects it instead)
+    odometry_is_good: bool = False
     seed: int = 0
+
+
+def _np_cap(n: int, minimum: int = 8) -> int:
+    c = minimum
+    while c < n:
+        c *= 2
+    return c
+
+
+def _se2_compose_np(a, b):
+    c, s = np.cos(a[2]), np.sin(a[2])
+    return np.array(
+        [a[0] + c * b[0] - s * b[1],
+         a[1] + s * b[0] + c * b[1],
+         (a[2] + b[2] + np.pi) % (2 * np.pi) - np.pi],
+        np.float32,
+    )
+
+
+def _se2_apply_np(x, pts):
+    c, s = np.cos(x[2]), np.sin(x[2])
+    R = np.array([[c, -s], [s, c]], np.float32)
+    return pts @ R.T + x[:2]
 
 
 class FeatureTracker2D:
@@ -213,8 +241,8 @@ class FeatureTracker2D:
             self.poses.append(pose)
         else:
             prev = self.poses[-1]
-            pose = np.asarray(
-                lie.se2_compose(jnp.asarray(prev), jnp.asarray(odom_delta, np.float32))
+            pose = _se2_compose_np(
+                np.asarray(prev, np.float32), np.asarray(odom_delta, np.float32)
             )
             self.poses.append(pose)
             info = np.diag(np.asarray(cfg.odom_info, np.float32))
@@ -247,49 +275,66 @@ class FeatureTracker2D:
 
     # -- association --------------------------------------------------------
     def _associate(self, pose, obs_local):
+        """Gated NN + RANSAC association with capacity-padded (compile-stable)
+        shapes: observations pad to a power-of-two bucket, landmarks to their
+        capacity — the kernels recompile only at capacity doublings."""
         cfg = self.cfg
         O = len(obs_local)
-        obs_world = np.asarray(
-            lie.se2_apply(jnp.asarray(pose), jnp.asarray(obs_local))
-        )
+        OC = _np_cap(max(O, 1))
         L = len(self.landmarks)
+        LC = _np_cap(max(L, 1))
+        obs_world = _se2_apply_np(np.asarray(pose, np.float32), obs_local)
+        obs_pad = np.zeros((OC, 2), np.float32)
+        obs_pad[:O] = obs_world
+        obs_mask = np.arange(OC) < O
+        lms_pad = np.zeros((LC, 2), np.float32)
+        lms_pad[:L] = self.landmarks
+        alive_pad = np.zeros(LC, bool)
+        alive_pad[:L] = self.lm_alive
         m_idx, _ = _associate_nn(
-            jnp.asarray(obs_world),
-            jnp.ones(O, bool),
-            jnp.asarray(self.landmarks),
-            jnp.asarray(self.lm_alive),
+            jnp.asarray(obs_pad),
+            jnp.asarray(obs_mask),
+            jnp.asarray(lms_pad),
+            jnp.asarray(alive_pad),
             cfg.incremental_guess_max_feature_distance,
         )
-        m_idx = np.asarray(m_idx)
+        m_idx = np.asarray(m_idx)[:O]
         pairs = m_idx >= 0
         if pairs.sum() < 3:
             return np.where(pairs, m_idx, -1)
 
         # RANSAC verification of the tentative set (+ pose correction)
-        lm_w = np.zeros((O, 2), np.float32)
-        lm_w[pairs] = self.landmarks[m_idx[pairs]]
+        lm_w = np.zeros((OC, 2), np.float32)
+        lm_w[:O][pairs] = self.landmarks[m_idx[pairs]]
+        obs_local_pad = np.zeros((OC, 2), np.float32)
+        obs_local_pad[:O] = obs_local
+        pairs_pad = np.zeros(OC, bool)
+        pairs_pad[:O] = pairs
         self.key, sub = jax.random.split(self.key)
         res = _ransac_verify(
             sub,
-            jnp.asarray(obs_local),
+            jnp.asarray(obs_local_pad),
             jnp.asarray(lm_w),
-            jnp.asarray(pairs),
+            jnp.asarray(pairs_pad),
             jnp.asarray(pose),
             cfg.incremental_ransac_inlier_threshold,
         )
         if not bool(res.ok):
             return np.full(O, -1, np.int64)
-        inl = np.asarray(res.inliers)
-        # corrected pose from the RANSAC transform
-        self.poses[-1] = np.asarray(res.transform, np.float32)
+        inl = np.asarray(res.inliers)[:O]
+        if not cfg.odometry_is_good:
+            # corrected pose from the RANSAC transform
+            self.poses[-1] = np.asarray(res.transform, np.float32)
         return np.where(pairs & inl, m_idx, -1)
 
     # -- landmark lifecycle -------------------------------------------------
     def _update_pending(self, pose, pose_idx, obs_local, obs_info, matched_lm):
         cfg = self.cfg
-        obs_world = np.asarray(
-            lie.se2_apply(jnp.asarray(pose), jnp.asarray(obs_local))
-        ) if len(obs_local) else np.zeros((0, 2), np.float32)
+        obs_world = (
+            _se2_apply_np(np.asarray(pose, np.float32), obs_local)
+            if len(obs_local)
+            else np.zeros((0, 2), np.float32)
+        )
         unmatched = [
             oi for oi in range(len(obs_local)) if matched_lm[oi] < 0
         ]
@@ -341,16 +386,98 @@ class FeatureTracker2D:
 
     # -- optimization -------------------------------------------------------
     def optimize(self, local=False):
+        if local:
+            return self._optimize_window()
         from ..solvers.pose_graph import optimize_se2
 
         cfg = self.cfg
-        fix_before = None
-        if local:
-            fix_before = max(0, len(self.poses) - cfg.local_map_size)
-        g = self.graph(window_fix_before=fix_before)
-        iters = cfg.local_optimize_iters if local else cfg.global_optimize_iters
-        g_opt, stats = optimize_se2(g, iters=iters, cg_iters=cfg.cg_iters)
+        g = self.graph()
+        g_opt, stats = optimize_se2(
+            g, iters=cfg.global_optimize_iters, cg_iters=cfg.cg_iters
+        )
         self._sync_from_graph(g_opt)
+        return float(np.asarray(stats.chi2)[-1])
+
+    def _optimize_window(self):
+        """Local optimization over the sliding window as a FIXED-CAPACITY
+        subgraph (the `OptimizationManager` local map of
+        ``feature_tracker_closure.h`` / localMapSize of tracker_test): only
+        the last `local_map_size` poses and the landmarks they observe enter
+        the solver; landmarks already observed before the window are held
+        fixed (established map). Shapes depend only on the capacity buckets,
+        so the solver compiles a handful of times over a whole run."""
+        from ..graph.store import PoseGraph2D
+        from ..solvers.pose_graph import optimize_se2
+
+        cfg = self.cfg
+        n = len(self.poses)
+        W = min(cfg.local_map_size, n)
+        if W < 2:
+            return 0.0
+        start = n - W
+        # window odometry edges
+        odo = [(i, j, z, w) for (i, j, z, w) in self.odom_edges if i >= start]
+        # window observation edges + involved landmarks
+        obs = [(p, l, z, w) for (p, l, z, w) in self.obs_edges if p >= start]
+        lm_ids = sorted({l for (_, l, _, _) in obs})
+        lmap = {l: k for k, l in enumerate(lm_ids)}
+        # landmarks with observations before the window stay fixed
+        seen_before = {l for (p, l, _, _) in self.obs_edges if p < start}
+
+        WP = _np_cap(cfg.local_map_size)
+        EO = _np_cap(max(len(odo), 1))
+        EB = _np_cap(max(len(obs), 1))
+        LW = _np_cap(max(len(lm_ids), 1))
+
+        poses = np.zeros((WP, 3), np.float32)
+        poses[:W] = np.asarray(self.poses[start:])
+        lms = np.zeros((LW, 2), np.float32)
+        if lm_ids:
+            lms[: len(lm_ids)] = self.landmarks[lm_ids]
+        pp_ij = np.zeros((EO, 2), np.int32)
+        pp_z = np.zeros((EO, 3), np.float32)
+        pp_w = np.zeros((EO, 3, 3), np.float32)
+        for k, (i, j, z, w) in enumerate(odo):
+            pp_ij[k] = (i - start, j - start)
+            pp_z[k] = z
+            pp_w[k] = w
+        pl_ij = np.zeros((EB, 2), np.int32)
+        pl_z = np.zeros((EB, 2), np.float32)
+        pl_w = np.zeros((EB, 2, 2), np.float32)
+        for k, (p, l, z, w) in enumerate(obs):
+            pl_ij[k] = (p - start, lmap[l])
+            pl_z[k] = z
+            pl_w[k] = w
+        fixed = np.zeros(WP, bool)
+        fixed[0] = True  # gauge: anchor the window's first pose
+        lm_free = np.zeros(LW, bool)
+        for l in lm_ids:
+            lm_free[lmap[l]] = l not in seen_before
+        g = PoseGraph2D(
+            poses=jnp.asarray(poses),
+            pose_mask=jnp.asarray(np.arange(WP) < W),
+            landmarks=jnp.asarray(lms),
+            landmark_mask=jnp.asarray(lm_free),
+            pp_ij=jnp.asarray(pp_ij),
+            pp_meas=jnp.asarray(pp_z),
+            pp_info=jnp.asarray(pp_w),
+            pp_mask=jnp.asarray(np.arange(EO) < len(odo)),
+            pl_ij=jnp.asarray(pl_ij),
+            pl_meas=jnp.asarray(pl_z),
+            pl_info=jnp.asarray(pl_w),
+            pl_mask=jnp.asarray(np.arange(EB) < len(obs)),
+            fixed=jnp.asarray(fixed),
+        )
+        g_opt, stats = optimize_se2(
+            g, iters=cfg.local_optimize_iters, cg_iters=cfg.local_cg_iters
+        )
+        new_poses = np.asarray(g_opt.poses)[:W]
+        for k in range(W):
+            self.poses[start + k] = new_poses[k]
+        new_lms = np.asarray(g_opt.landmarks)
+        for l in lm_ids:
+            if lm_free[lmap[l]]:
+                self.landmarks[l] = new_lms[lmap[l]]
         return float(np.asarray(stats.chi2)[-1])
 
     # -- loop closing -------------------------------------------------------
@@ -378,25 +505,35 @@ class FeatureTracker2D:
         )
         if len(recent) < 3 or len(old) < 3:
             return 0
+        RC = _np_cap(len(recent))
+        OC = _np_cap(len(old))
+        rec_pad = np.zeros((RC, 2), np.float32)
+        rec_pad[: len(recent)] = self.landmarks[recent]
+        rec_mask = np.arange(RC) < len(recent)
+        old_pad = np.zeros((OC, 2), np.float32)
+        old_pad[: len(old)] = self.landmarks[old]
+        old_mask = np.arange(OC) < len(old)
         m_idx, _ = _associate_nn(
-            jnp.asarray(self.landmarks[recent]),
-            jnp.ones(len(recent), bool),
-            jnp.asarray(self.landmarks[old]),
-            jnp.ones(len(old), bool),
+            jnp.asarray(rec_pad),
+            jnp.asarray(rec_mask),
+            jnp.asarray(old_pad),
+            jnp.asarray(old_mask),
             cfg.loop_guess_max_feature_distance,
         )
-        m_idx = np.asarray(m_idx)
+        m_idx = np.asarray(m_idx)[: len(recent)]
         pairs = m_idx >= 0
         if pairs.sum() < 3:
             return 0
-        tgt = np.zeros((len(recent), 2), np.float32)
-        tgt[pairs] = self.landmarks[old[m_idx[pairs]]]
+        tgt = np.zeros((RC, 2), np.float32)
+        tgt[: len(recent)][pairs] = self.landmarks[old[m_idx[pairs]]]
+        pairs_pad = np.zeros(RC, bool)
+        pairs_pad[: len(recent)] = pairs
         self.key, sub = jax.random.split(self.key)
         res = ransac(
             sub,
             jnp.asarray(tgt),
-            jnp.asarray(self.landmarks[recent]),
-            jnp.asarray(pairs),
+            jnp.asarray(rec_pad),
+            jnp.asarray(pairs_pad),
             fit_fn=rsolvers.fit_se2_points,
             err_fn=rsolvers.err_se2_points,
             minimal_size=2,
@@ -406,7 +543,7 @@ class FeatureTracker2D:
         )
         if not bool(res.ok):
             return 0
-        inl = np.asarray(res.inliers)
+        inl = np.asarray(res.inliers)[: len(recent)]
         merged = 0
         for k in range(len(recent)):
             if pairs[k] and inl[k]:
