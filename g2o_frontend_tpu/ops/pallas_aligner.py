@@ -236,8 +236,9 @@ def _kernel(
             )
         # advance the window one row: a static sublane roll (dynamic sublane
         # slice offsets must be multiples of 8 on TPU; a unit roll is cheap
-        # and never reads wrapped rows before the loop ends)
-        return accs, pltpu.roll(rblk, -1, 1)
+        # and never reads wrapped rows before the loop ends). pltpu.roll
+        # requires a non-negative shift: +(BR-1) == -1 (mod BR).
+        return accs, pltpu.roll(rblk, TR + 2 * DV - 1, 1)
 
     zero6 = tuple(jnp.zeros((TR, TC), f32) for _ in range(6))
     blk0 = blk_ref[0, 0]  # (C_REF, TR + 2*DV, TC + 2*DU)
