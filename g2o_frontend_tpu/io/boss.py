@@ -42,7 +42,8 @@ def register(cls=None, *, name: str | None = None, aliases: tuple = ()):
     Mirrors ``BOSS_REGISTER_CLASS`` (``serializable.h:80-84``)."""
 
     def wrap(c):
-        for n in (name or c.__name__, *aliases):
+        c._boss_name = name or c.__name__
+        for n in (c._boss_name, *aliases):
             _REGISTRY[n] = c
         return c
 
@@ -78,20 +79,47 @@ class Pointer:
 class BlobRef:
     """Lazy reference to a binary side file (npz / npy / image).
 
-    `get()` loads on first access, like ``BLOBReference<T>::get()``."""
+    `get()` loads on first access, like ``BLOBReference<T>::get()``.
+    Reference-format image payloads decode straight into numpy arrays:
+    pgm (mono8/mono16), ppm/pbm (rgb8) and grayscale png — the ImageBLOB
+    wire formats of ``boss_map/image_sensor.cpp:17-101``.
+    """
 
-    def __init__(self, path: str, base_dir: str = "."):
+    IMAGE_EXTS = (".pgm", ".ppm", ".pbm", ".png")
+
+    def __init__(self, path: str, base_dir: str = ".", data=None, ext=None):
         self.path = path
         self.base_dir = base_dir
-        self._data = None
+        self._data = data
+        self.ext = ext  # preferred encoding for pending in-memory data
+
+    @classmethod
+    def from_array(cls, img, ext: str = None) -> "BlobRef":
+        """Pending image/array BLOB: path assigned when a Serializer writes
+        it (the analog of constructing an ImageBLOB before serialization)."""
+        img = np.asarray(img)
+        if ext is None:
+            if img.ndim == 2 and img.dtype in (np.uint8, np.uint16):
+                ext = "pgm"
+            elif img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8:
+                ext = "pbm"
+            else:
+                ext = "npy"
+        return cls("", data=img, ext=ext)
 
     def get(self):
         if self._data is None:
             full = os.path.join(self.base_dir, self.path)
-            if full.endswith(".npz"):
+            ext = os.path.splitext(full)[1].lower()
+            if ext == ".npz":
                 self._data = dict(np.load(full))
-            elif full.endswith(".npy"):
+            elif ext == ".npy":
                 self._data = np.load(full)
+            elif ext in self.IMAGE_EXTS:
+                from .image_codec import decode_image
+
+                with open(full, "rb") as fh:
+                    self._data = decode_image(fh.read(), ext)
             else:
                 with open(full, "rb") as fh:
                     self._data = fh.read()
@@ -258,6 +286,26 @@ class Serializer:
 
     def _encode_value(self, v, queue):
         if isinstance(v, BlobRef):
+            if v._data is not None and not v.path:
+                # pending in-memory payload (BlobRef.from_array): persist it
+                # in the requested wire format (image_sensor.cpp:84-101)
+                os.makedirs(self.blob_dir, exist_ok=True)
+                ext = (v.ext or "npy").lstrip(".")
+                rel = os.path.join(
+                    os.path.basename(self.blob_dir),
+                    f"blob_{self._n_blobs}.{ext}",
+                )
+                full = os.path.join(os.path.dirname(self.path) or ".", rel)
+                if ext in ("pgm", "ppm", "pbm", "png"):
+                    from .image_codec import encode_image
+
+                    with open(full, "wb") as fh:
+                        fh.write(encode_image(v._data, ext))
+                else:
+                    np.save(full, v._data)
+                self._n_blobs += 1
+                v.path = rel
+                v.base_dir = os.path.dirname(self.path) or "."
             return {"#blob": v.path}
         if isinstance(v, np.ndarray):
             if v.size > 64:
@@ -293,7 +341,7 @@ class Serializer:
             return
         self._written.add(id(obj))
         self._keepalive.append(obj)
-        cname = class_name or type(obj).__name__
+        cname = class_name or getattr(type(obj), "_boss_name", type(obj).__name__)
         if hasattr(obj, "to_boss"):
             data = obj.to_boss()
         elif is_dataclass(obj):

@@ -219,10 +219,15 @@ def _kernel(
     rdv = vi + DV - vstart - iota_r
     rdu = ui + DU - ustart - iota_c
 
-    def scan_dy(dy, carry):
-        accs, rblk = carry
+    # static unroll over the window (compile-time constant slices only: a
+    # fori over dy needs dynamic sublane addressing, which Mosaic either
+    # rejects (non-multiple-of-8 pl.ds) or compiles pathologically slowly
+    # (roll-carried loop)); the select-accumulate bodies are pure VPU fmas
+    accs = tuple(jnp.zeros((TR, TC), f32) for _ in range(6))
+    blk0 = blk_ref[0, 0]  # (C_REF, TR + 2*DV, TC + 2*DU)
+    for dy in range(2 * DV + 1):
         hv = rdv == dy
-        sub = rblk[:, :TR, :]  # rows [dy, dy+TR) of the original block
+        sub = blk0[:, dy : dy + TR, :]
         for dx in range(2 * DU + 1):
             hf = (hv & (rdu == dx)).astype(f32)
             s = sub[:, :, dx : dx + TC]
@@ -234,17 +239,7 @@ def _kernel(
                 accs[4] + hf * s[4],
                 accs[5] + hf,
             )
-        # advance the window one row: a static sublane roll (dynamic sublane
-        # slice offsets must be multiples of 8 on TPU; a unit roll is cheap
-        # and never reads wrapped rows before the loop ends). pltpu.roll
-        # requires a non-negative shift: +(BR-1) == -1 (mod BR).
-        return accs, pltpu.roll(rblk, TR + 2 * DV - 1, 1)
-
-    zero6 = tuple(jnp.zeros((TR, TC), f32) for _ in range(6))
-    blk0 = blk_ref[0, 0]  # (C_REF, TR + 2*DV, TC + 2*DU)
-    (accd, accnx, accny, accnz, accc, acch), _ = jax.lax.fori_loop(
-        0, 2 * DV + 1, scan_dy, (zero6, blk0)
-    )
+    accd, accnx, accny, accnz, accc, acch = accs
 
     # -- reconstruct the reference point from depth + integer pixel ----------
     uif = ui.astype(f32)
