@@ -2,12 +2,19 @@
 
 Headline: PWN dense aligner frames/s at the reference's compute envelope —
 640x480 depth, 10 outer x 1 inner iterations (``pwn_core/aligner.cpp:19-20``,
-BASELINE.md "Aligner compute envelope"). Also reports the depth->cloud
-converter throughput and the pose-graph LM throughput on victoriaPark.
+BASELINE.md "Aligner compute envelope") — on the fused Pallas path
+(ops/pallas_aligner.py, the ``cudaaligner.cu:361-406`` analog). The XLA
+gather path is reported alongside as `align_fps_gather`.
 
 ``vs_baseline`` compares aligner frames/s against the same workload on the
 host CPU backend (the reference's platform class; the reference publishes no
 numbers — BASELINE.md).
+
+Consistency is asserted, not assumed: the end-to-end tracker fps must be
+strictly below the bare aligner fps (each tracker frame contains a full
+align + a depth->cloud conversion), and every timing consumes all outputs
+through the loop carry so XLA cannot dead-code-eliminate work (round-1's
+tracker_fps_e2e=24,793 at align_fps=73 was exactly that failure mode).
 
 NOTE: on the tunneled axon TPU platform ``block_until_ready`` does not
 synchronize; all timings force ``np.asarray`` transfers.
@@ -16,6 +23,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -65,8 +73,27 @@ def _make_depth_pair(H=480, W=640):
     return render(np.eye(4)), render(T_gt), proj, T_gt
 
 
-def bench_pwn_aligner(device=None, H=480, W=640, reps=5):
+def _two_point(fn, lo, hi, tries=3):
+    """Median of ((t_hi - t_lo) / (hi - lo)) over `tries` pairs.
+
+    Both chain lengths are warmed first; the subtraction cancels dispatch
+    and transfer constants, leaving per-step device time."""
+    np.asarray(fn(n=lo))
+    np.asarray(fn(n=hi))
+    deltas = []
+    for _ in range(tries):
+        t0 = time.perf_counter()
+        np.asarray(fn(n=lo))
+        t1 = time.perf_counter()
+        np.asarray(fn(n=hi))
+        t2 = time.perf_counter()
+        deltas.append(((t2 - t1) - (t1 - t0)) / (hi - lo))
+    return float(np.median(deltas))
+
+
+def bench_pwn_aligner(device=None, H=480, W=640, reps=5, association="auto"):
     import jax
+    import jax.numpy as jnp
 
     from g2o_frontend_tpu.pwn.aligner import AlignerConfig, align
     from g2o_frontend_tpu.pwn.converter import ConverterConfig, depth_to_cloud
@@ -79,9 +106,8 @@ def bench_pwn_aligner(device=None, H=480, W=640, reps=5):
         ccfg = ConverterConfig()
     else:  # reference scale-4 stats radii (conf pwn_slam_catacombs_gui.conf)
         ccfg = ConverterConfig(min_image_radius=3, max_image_radius=8, min_points=12)
-    acfg = AlignerConfig(outer_iterations=10, inner_iterations=1)
-
-    import jax.numpy as jnp
+    acfg = AlignerConfig(outer_iterations=10, inner_iterations=1,
+                         association=association)
 
     ref = depth_to_cloud(d_ref, proj, ccfg)
     cur = depth_to_cloud(d_cur, proj, ccfg)
@@ -89,15 +115,10 @@ def bench_pwn_aligner(device=None, H=480, W=640, reps=5):
     np.asarray(res.T)  # sync after compile
 
     # On-device chained loops: each align warm-starts from the previous
-    # estimate (the tracker's steady-state pattern), each convert depends on
-    # the previous cloud. Two-point timing (n_hi - n_lo) cancels the
-    # tunnel's per-dispatch latency, leaving pure device throughput.
-    from functools import partial
-
+    # estimate (the tracker's steady-state pattern). The 1e-30-scaled stats
+    # feed the loop carry so no output can be dead-code-eliminated.
     @partial(jax.jit, static_argnames=("n",))
     def align_chain(ref, cur, n):
-        # consume the statistics outputs too (omega/chi2/validity are
-        # per-frame production work; without this XLA would DCE them)
         def body(i, T_guess):
             r = align(ref, cur, proj, initial_guess=T_guess, config=acfg)
             stats = (
@@ -110,32 +131,14 @@ def bench_pwn_aligner(device=None, H=480, W=640, reps=5):
 
     @partial(jax.jit, static_argnames=("n",))
     def convert_chain(depth, n):
-        # 1e-30*carry: numerically nil but a true loop-carried dependence,
-        # so XLA cannot hoist the convert out of the loop (0.0*carry folds).
-        # consume a reduction over EVERY field — consuming one element would
-        # let XLA dead-code-eliminate the pipeline down to a single pixel
         def body(i, carry):
             c = depth_to_cloud(depth + 1e-30 * carry, proj, ccfg)
             return sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(c))
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    def two_point(chain_fn, *args, lo=2, hi=2 + 4 * reps, tries=3):
-        np.asarray(chain_fn(*args, n=lo))
-        np.asarray(chain_fn(*args, n=hi))
-        deltas = []
-        for _ in range(tries):
-            t0 = time.perf_counter()
-            np.asarray(chain_fn(*args, n=lo))
-            t1 = time.perf_counter()
-            np.asarray(chain_fn(*args, n=hi))
-            t2 = time.perf_counter()
-            deltas.append(((t2 - t1) - (t1 - t0)) / (hi - lo))
-        return float(np.median(deltas))
-
-    dt_align = two_point(align_chain, ref, cur)
-    # convert is fast; a wide spread lifts the delta above dispatch jitter
-    dt_conv = two_point(convert_chain, d_cur, lo=5, hi=5 + 24 * reps)
+    dt_align = _two_point(partial(align_chain, ref, cur), 2, 2 + 4 * reps)
+    dt_conv = _two_point(partial(convert_chain, d_cur), 5, 5 + 24 * reps)
     res = align(ref, cur, proj, config=acfg)
 
     T_est = np.asarray(res.T)
@@ -149,59 +152,67 @@ def bench_pwn_aligner(device=None, H=480, W=640, reps=5):
     }
 
 
-def bench_tracker(H=480, W=640, lo=6, hi=26):
+def bench_tracker(H=480, W=640, lo=4, hi=24):
     """End-to-end odometry frames/s: depth->cloud + 10-outer align +
-    keyframe policy per frame, as one on-device scan (odometry_scan).
-    Two scan lengths cancel dispatch + the first frame's conversion."""
+    keyframe policy per frame, as one jitted on-device scan."""
     import jax
     import jax.numpy as jnp
 
-    from g2o_frontend_tpu.slam.pwn_tracker import odometry_scan
-    from g2o_frontend_tpu.pwn.converter import ConverterConfig
     from g2o_frontend_tpu.pwn.aligner import AlignerConfig
+    from g2o_frontend_tpu.pwn.converter import ConverterConfig
+    from g2o_frontend_tpu.slam.pwn_tracker import odometry_scan
 
-    d_ref, d_cur, proj, _ = _make_depth_pair(H, W)
+    d_ref, _, proj, _ = _make_depth_pair(H, W)
     ccfg = ConverterConfig()
     acfg = AlignerConfig(outer_iterations=10)
-    rng = np.random.default_rng(0)
+
+    base = np.asarray(d_ref)
 
     def seq(n):
-        # alternate with slight scaling so every frame differs
-        frames = [
-            np.asarray(d_ref) * (1.0 + 0.002 * (k % 5)) for k in range(n)
-        ]
+        frames = [base * (1.0 + 0.002 * (k % 5)) for k in range(n)]
         return jnp.asarray(np.stack(frames), jnp.float32)
 
+    @jax.jit
     def run(depths):
         traj, m = odometry_scan(depths, proj, ccfg, acfg)
-        np.asarray(traj)
+        # consume every output through the return value
+        return traj, m["inliers"].sum(), m["fraction"].sum()
 
     s_lo, s_hi = seq(lo), seq(hi)
-    run(s_lo)
-    run(s_hi)
-    t0 = time.perf_counter()
-    run(s_lo)
-    t1 = time.perf_counter()
-    run(s_hi)
-    t2 = time.perf_counter()
-    dt = ((t2 - t1) - (t1 - t0)) / (hi - lo)
+
+    def chain(s):
+        traj, si, sf = run(s)
+        np.asarray(traj)
+        np.asarray(si)
+        np.asarray(sf)
+
+    chain(s_lo)
+    chain(s_hi)
+    deltas = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        chain(s_lo)
+        t1 = time.perf_counter()
+        chain(s_hi)
+        t2 = time.perf_counter()
+        deltas.append(((t2 - t1) - (t1 - t0)) / (hi - lo))
+    dt = float(np.median(deltas))
     return {"tracker_fps": 1.0 / dt}
 
 
 def bench_pose_graph(device=None):
-    import os
-
     import jax
 
     from g2o_frontend_tpu.graph.store import graph2d_from_log
     from g2o_frontend_tpu.io.g2o import read_g2o
-    from g2o_frontend_tpu.solvers.pose_graph import optimize_se2
+    from g2o_frontend_tpu.solvers.pose_graph import (
+        optimize_se2, optimize_se2_direct)
 
     log = read_g2o(os.path.join(DATA, "victoriaPark-full.g2o.gz"))
     g, _ = graph2d_from_log(log)
     if device is not None:
         g = jax.device_put(g, device)
-    ITERS, CG = 30, 300  # convergence-quality setting (chi2 8.4e7 -> ~1e5)
+    ITERS, CG = 30, 300
 
     def run():
         g_out, stats = optimize_se2(g, iters=ITERS, cg_iters=CG)
@@ -212,10 +223,22 @@ def bench_pose_graph(device=None):
     for _ in range(3):
         poses, stats = run()
     dt = (time.perf_counter() - t0) / 3
-    chi2 = np.asarray(stats.chi2)
+    chi2 = float(np.asarray(stats.chi2)[-1])
+
+    # exact-Newton mode (dense Cholesky on the MXU): victoriaPark has
+    # 21,209 DOF; the float64 host control's optimum is chi2=22572
+    # (solvers/control.py, tests/test_control.py)
+    DIRECT_ITERS = 60
+    t0 = time.perf_counter()
+    g_dir, st_dir = optimize_se2_direct(g, iters=DIRECT_ITERS)
+    chi2_dir = float(np.asarray(st_dir.chi2)[-1])
+    dt_dir = time.perf_counter() - t0
     return {
         "lm_iters_per_s": ITERS / dt,
-        "chi2_final": float(chi2[-1]),
+        "chi2_final": chi2,
+        "direct_chi2_final": chi2_dir,
+        "direct_iters_per_s": DIRECT_ITERS / dt_dir,
+        "chi2_control": 22572.55,  # float64 CHOLMOD-role control optimum
     }
 
 
@@ -224,15 +247,24 @@ def main():
 
     plat = jax.devices()[0].platform
     pwn = bench_pwn_aligner()
-    pwn4 = bench_pwn_aligner(H=120, W=160, reps=10)  # ref tracker scale=4
+    pwn_gather = bench_pwn_aligner(association="gather", reps=2)
+    pwn4 = bench_pwn_aligner(H=120, W=160, reps=10, association="gather")
     trk = bench_tracker()
     pgo = bench_pose_graph()
+
+    # internal consistency: e2e tracker cannot beat the bare aligner
+    assert trk["tracker_fps"] < pwn["align_fps"] * 1.05, (
+        f"impossible: tracker_fps {trk['tracker_fps']:.1f} >= "
+        f"align_fps {pwn['align_fps']:.1f} — timing harness is broken"
+    )
+    assert pwn["t_err_m"] < 0.01, f"aligner accuracy broke: {pwn['t_err_m']}"
 
     vs = 1.0
     if "--no-cpu-control" not in sys.argv:
         try:
             cpu_dev = jax.local_devices(backend="cpu")[0]
-            pwn_cpu = bench_pwn_aligner(device=cpu_dev, reps=2)
+            pwn_cpu = bench_pwn_aligner(device=cpu_dev, reps=2,
+                                        association="gather")
             vs = pwn["align_fps"] / pwn_cpu["align_fps"]
         except Exception:
             vs = 1.0
@@ -240,9 +272,10 @@ def main():
     out = {
         "metric": "pwn_align_fps_640x480_10outer",
         "value": round(pwn["align_fps"], 3),
-        "unit": "aligner frames/s (640x480, 10 outer x 1 inner, ref envelope)",
+        "unit": "aligner frames/s (640x480, 10 outer x 1 inner, ref envelope, fused Pallas)",
         "vs_baseline": round(vs, 3),
         "platform": plat,
+        "align_fps_gather": round(pwn_gather["align_fps"], 3),
         "align_fps_scale4": round(pwn4["align_fps"], 3),
         "convert_fps": round(pwn["convert_fps"], 3),
         "tracker_fps_e2e": round(trk["tracker_fps"], 3),
@@ -250,6 +283,9 @@ def main():
         "align_inliers": pwn["inliers"],
         "pose_graph_lm_iters_per_s": round(pgo["lm_iters_per_s"], 3),
         "pose_graph_chi2_final": round(pgo["chi2_final"], 1),
+        "pose_graph_direct_chi2": round(pgo["direct_chi2_final"], 1),
+        "pose_graph_direct_iters_per_s": round(pgo["direct_iters_per_s"], 3),
+        "pose_graph_chi2_control": pgo["chi2_control"],
     }
     print(json.dumps(out))
 

@@ -109,8 +109,26 @@ def _project_cur(cur_packed, params, *, H, W, fx, fy, cx, cy, min_d, max_d):
     return ui, vi, inside, vglob, uglob
 
 
+def _dma_block_shape(TR, TC, DV, DU):
+    """Reference-window DMA block: starts align DOWN to the (8, 128) memory
+    tiling (Mosaic requires provably tile-aligned DMA offsets), so the block
+    is widened by one tile in each dim to absorb the alignment slack, then
+    rounded up to whole tiles."""
+    return (
+        _round_up(TR + 2 * DV + 8, 8),
+        _round_up(TC + 2 * DU + 128, 128),
+    )
+
+
+def _padded_ref_shape(H, W, TR, TC, DV, DU):
+    BR, BC = _dma_block_shape(TR, TC, DV, DU)
+    Hpad = _round_up(max(H + 2 * DV, BR) + 8, 8)
+    Wpad = _round_up(max(W + 2 * DU, BC) + 128, 128)
+    return Hpad, Wpad
+
+
 def _tile_starts(ui, vi, inside, vglob, uglob, *, TR, TC, DV, DU, H, W):
-    """Per-tile clamped reference-window starts (gR, gC) from mean flow."""
+    """Per-tile clamped, tile-ALIGNED reference-window starts (gR, gC)."""
     Hp_c, Wp_c = ui.shape
     gR, gC = Hp_c // TR, Wp_c // TC
     insf = inside.astype(jnp.float32)
@@ -126,31 +144,21 @@ def _tile_starts(ui, vi, inside, vglob, uglob, *, TR, TC, DV, DU, H, W):
     ou = jnp.floor(ouf + 0.5).astype(jnp.int32)
     row0 = (jnp.arange(gR, dtype=jnp.int32) * TR)[:, None]
     col0 = (jnp.arange(gC, dtype=jnp.int32) * TC)[None, :]
-    Hp = H + 2 * DV
-    Wp = W + 2 * DU
-    vstart = jnp.clip(row0 + ov, 0, Hp - (TR + 2 * DV))
-    ustart = jnp.clip(col0 + ou, 0, Wp - (TC + 2 * DU))
+    BR, BC = _dma_block_shape(TR, TC, DV, DU)
+    Hpad, Wpad = _padded_ref_shape(H, W, TR, TC, DV, DU)
+    vstart = jnp.clip((row0 + ov) & ~7, 0, Hpad - BR)
+    ustart = jnp.clip((col0 + ou) & ~127, 0, Wpad - BC)
     return vstart, ustart
-
-
-def _gather_blocks(ref_padded, vstart, ustart, *, TR, TC, DV, DU):
-    """Batched contiguous block gather: (gR, gC, 5, TR+2DV, TC+2DU)."""
-    gR, gC = vstart.shape
-    BR, BC = TR + 2 * DV, TC + 2 * DU
-
-    def one(vs, us):
-        return jax.lax.dynamic_slice(ref_padded, (0, vs, us), (C_REF, BR, BC))
-
-    blocks = jax.vmap(one)(vstart.reshape(-1), ustart.reshape(-1))
-    return blocks.reshape(gR, gC, C_REF, BR, BC)
 
 
 def _kernel(
     params_ref,
     start_ref,
     cur_ref,
-    blk_ref,
+    ref_hbm,
     out_ref,
+    blkbuf,
+    sems,
     *,
     TR,
     TC,
@@ -173,13 +181,37 @@ def _kernel(
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
+    gC = pl.num_programs(1)
+    n_tiles = pl.num_programs(0) * gC
+    t = i * gC + j
     row0 = i * TR
     col0 = j * TC
     f32 = jnp.float32
+    BR, BC = _dma_block_shape(TR, TC, DV, DU)
 
     prm = [params_ref[0, k] for k in range(24)]  # SMEM scalar loads
-    vstart = start_ref[i, j, 0]
-    ustart = start_ref[i, j, 1]
+    vstart = start_ref[t, 0]
+    ustart = start_ref[t, 1]
+
+    # double-buffered DMA of this/next tile's reference window straight from
+    # HBM at the prefetched dynamic offsets (replaces an XLA block gather
+    # that cost 0.3 ms/iteration)
+    def blk_dma(tile, slot):
+        vs = pl.multiple_of(start_ref[tile, 0], 8)
+        us = pl.multiple_of(start_ref[tile, 1], 128)
+        return pltpu.make_async_copy(
+            ref_hbm.at[:, pl.ds(vs, BR), pl.ds(us, BC)],
+            blkbuf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        blk_dma(0, 0).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        blk_dma(t + 1, (t + 1) % 2).start()
 
     x = cur_ref[0]  # (C_CUR, TR, TC)
     cpx, cpy, cpz = x[0], x[1], x[2]
@@ -213,32 +245,48 @@ def _kernel(
         & (col0 + iota_c < W)
     )
 
-    # per-pixel residual target within the tile's ref block: the hit at
-    # window position (dy, dx) selects block row r+dy, col c+dx, so a pixel
-    # at tile-local (r, c) hits iff rdv == dy and rdu == dx
+    # per-pixel residual target within the tile's DMA'd ref block: vstart/
+    # ustart are tile-ALIGNED, so residuals carry the alignment slack
+    # (vertical in [0, 2*DV+7+pad], horizontal in [0, 2*DU+127])
     rdv = vi + DV - vstart - iota_r
     rdu = ui + DU - ustart - iota_c
 
-    # static unroll over the window (compile-time constant slices only: a
-    # fori over dy needs dynamic sublane addressing, which Mosaic either
-    # rejects (non-multiple-of-8 pl.ds) or compiles pathologically slowly
-    # (roll-carried loop)); the select-accumulate bodies are pure VPU fmas
+    # Vertical: static unroll over the BR-TR candidate rows (compile-time
+    # constant slices only — dynamic sublane addressing is either rejected
+    # by Mosaic (non-multiple-of-8 pl.ds) or compiles pathologically slowly).
+    # Horizontal: Mosaic's in-tile lane gather (take_along_axis on a
+    # (TR, 128) tile) replaces shift-selects with BC/128 chunked gathers —
+    # this requires TC == 128 (enforced by fused_linearize).
+    n_chunks = BC // TC
+    ru_ok = (rdu >= 0) & (rdu <= 2 * DU + 127)
+    bc = iota_c + rdu  # target block column in [0, BC)
+    bc_cl = jnp.clip(bc, 0, BC - 1)
+    chunk_of = bc_cl // TC
+    idx_in = bc_cl - chunk_of * TC
     accs = tuple(jnp.zeros((TR, TC), f32) for _ in range(6))
-    blk0 = blk_ref[0, 0]  # (C_REF, TR + 2*DV, TC + 2*DU)
-    for dy in range(2 * DV + 1):
-        hv = rdv == dy
+    blk_dma(t, t % 2).wait()
+    blk0 = blkbuf[t % 2]  # (C_REF, BR, BC)
+    for dy in range(BR - TR):
+        hf = ((rdv == dy) & ru_ok).astype(f32)
         sub = blk0[:, dy : dy + TR, :]
-        for dx in range(2 * DU + 1):
-            hf = (hv & (rdu == dx)).astype(f32)
-            s = sub[:, :, dx : dx + TC]
-            accs = (
-                accs[0] + hf * s[0],
-                accs[1] + hf * s[1],
-                accs[2] + hf * s[2],
-                accs[3] + hf * s[3],
-                accs[4] + hf * s[4],
-                accs[5] + hf,
-            )
+        vals = []
+        for ch in range(C_REF):
+            plane = sub[ch]
+            val = jnp.zeros((TR, TC), f32)
+            for k in range(n_chunks):
+                g = jnp.take_along_axis(
+                    plane[:, k * TC : (k + 1) * TC], idx_in, axis=1
+                )
+                val = jnp.where(chunk_of == k, g, val)
+            vals.append(val)
+        accs = (
+            accs[0] + hf * vals[0],
+            accs[1] + hf * vals[1],
+            accs[2] + hf * vals[2],
+            accs[3] + hf * vals[3],
+            accs[4] + hf * vals[4],
+            accs[5] + hf,
+        )
     accd, accnx, accny, accnz, accc, acch = accs
 
     # -- reconstruct the reference point from depth + integer pixel ----------
@@ -370,6 +418,8 @@ def fused_linearize(
     params: (1, 24) f32 (see module docstring).
     Returns sums (29,) in _linearize_planar order.
     """
+    if TC != 128:
+        raise ValueError("fused_linearize requires TC == 128 (lane gather)")
     Hp_c, Wp_c = cur_packed.shape[1], cur_packed.shape[2]
     gR, gC = Hp_c // TR, Wp_c // TC
 
@@ -380,8 +430,7 @@ def fused_linearize(
     vstart, ustart = _tile_starts(
         ui, vi, inside, vglob, uglob, TR=TR, TC=TC, DV=DV, DU=DU, H=H, W=W
     )
-    blocks = _gather_blocks(ref_padded, vstart, ustart, TR=TR, TC=TC, DV=DV, DU=DU)
-    starts = jnp.stack([vstart, ustart], axis=-1)  # (gR, gC, 2)
+    starts = jnp.stack([vstart, ustart], axis=-1).reshape(gR * gC, 2)
 
     kern = partial(
         _kernel,
@@ -390,46 +439,56 @@ def fused_linearize(
         nthr=nthr, dthr2=dthr2, cthr=cthr, rthr=rthr,
         max_chi2=max_chi2, robust=robust,
     )
-    BR, BC = TR + 2 * DV, TC + 2 * DU
-    out = pl.pallas_call(
-        kern,
+    BR, BC = _dma_block_shape(TR, TC, DV, DU)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # params (1, 24) f32, starts (gR*gC, 2) i32
         grid=(gR, gC),
         in_specs=[
-            pl.BlockSpec((1, 24), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # starts, whole array
-            pl.BlockSpec((1, C_CUR, TR, TC), lambda i, j: (0, 0, i, j),
+            pl.BlockSpec((1, C_CUR, TR, TC), lambda i, j, *_: (0, 0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C_REF, BR, BC), lambda i, j: (i, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # full ref, DMA'd in-kernel
         ],
-        out_specs=pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+        out_specs=pl.BlockSpec((8, 128), lambda i, j, *_: (0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, C_REF, BR, BC), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         interpret=interpret,
-    )(params, starts, cur_packed[None], blocks)
+    )(params, starts.astype(jnp.int32), cur_packed[None], ref_padded)
     return out[0, :29]
 
 
 def prepare_fused_inputs(reference, current, *, TR=16, TC=128, DV=4, DU=6):
-    """Pack + pad both clouds for fused_linearize. Returns (cur_p, ref_p)."""
+    """Pack + pad both clouds for fused_linearize. Returns (cur_p, ref_p).
+
+    The reference image sits at offset (DV, DU) inside a (Hpad, Wpad) canvas
+    sized so every tile-aligned DMA window stays in bounds; all padding reads
+    as invalid via the curv-sentinel channel."""
     cur_p = pack_cur(current)
     H, W = cur_p.shape[1], cur_p.shape[2]
     Hp, Wp = _round_up(H, TR), _round_up(W, TC)
     if (Hp, Wp) != (H, W):
         cur_p = jnp.pad(cur_p, ((0, 0), (0, Hp - H), (0, Wp - W)))
     ref_p = pack_ref(reference)
-    ref_p = jnp.pad(ref_p, ((0, 0), (DV, DV), (DU, DU)))
-    # padding must read as invalid: set the curv-sentinel channel's border
-    # to -1 (depth-0 padding alone would pass the curvature gates)
-    if DV or DU:
-        Hh, Ww = ref_p.shape[1], ref_p.shape[2]
-        rr = jnp.arange(Hh)
-        cc_ = jnp.arange(Ww)
-        border = (
-            (rr[:, None] < DV) | (rr[:, None] >= Hh - DV)
-            | (cc_[None, :] < DU) | (cc_[None, :] >= Ww - DU)
-        )
-        ref_p = ref_p.at[4].set(jnp.where(border, -1.0, ref_p[4]))
+    Hpad, Wpad = _padded_ref_shape(H, W, TR, TC, DV, DU)
+    ref_p = jnp.pad(
+        ref_p, ((0, 0), (DV, Hpad - H - DV), (DU, Wpad - W - DU))
+    )
+    # padding must read as invalid: set the curv-sentinel channel outside
+    # the image region to -1 (depth-0 alone would pass the curvature gates)
+    rr = jnp.arange(Hpad)
+    cc_ = jnp.arange(Wpad)
+    border = (
+        (rr[:, None] < DV) | (rr[:, None] >= DV + H)
+        | (cc_[None, :] < DU) | (cc_[None, :] >= DU + W)
+    )
+    ref_p = ref_p.at[4].set(jnp.where(border, -1.0, ref_p[4]))
     return cur_p, ref_p
 
 

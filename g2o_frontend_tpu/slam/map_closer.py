@@ -95,37 +95,66 @@ class MapCloser:
         return self.committed
 
     def _process_partition(self, partition: list[MapNode], key_node: MapNode):
+        """Match ALL candidate nodes of a partition against the key node in
+        ONE batched program (SURVEY §7 Phase 5: the vmap the reference does
+        serially, ``pwn_closer.cpp:92-110``). Candidates pad to a power-of-
+        two bucket so the kernel compiles a handful of times per run."""
         cfg = self.cfg
         cur_cloud = self.cache.get(key_node.payload["frame"])
         iT = np.linalg.inv(key_node.transform)
-        for other in partition:
-            if other is key_node or "frame" not in other.payload:
-                continue
-            if other.payload["frame"] not in self.cache:
-                continue
-            guess = iT @ other.transform
-            other_cloud = self.cache.get(other.payload["frame"])
-            res = match_clouds(
-                other_cloud,
-                cur_cloud,
-                self.projector,
-                jnp.asarray(np.linalg.inv(guess), jnp.float32),
-                self.acfg,
-            )
-            nz = int(res.image_nonzeros)
-            outl = int(res.image_outliers)
-            inl = int(res.image_inliers)
+        cands = [
+            o
+            for o in partition
+            if o is not key_node
+            and "frame" in o.payload
+            and o.payload["frame"] in self.cache
+        ]
+        if not cands:
+            return
+        from dataclasses import replace
+
+        from .pwn_matcher import match_clouds_batch, stack_clouds
+
+        acfg = self.acfg
+        if acfg.association in ("auto", "fused"):
+            # the fused Pallas kernel doesn't batch under vmap; the XLA
+            # gather path does, and closure matching runs at closer scale
+            acfg = replace(acfg, association="gather")
+
+        K = len(cands)
+        KC = 8
+        while KC < K:
+            KC *= 2
+        clouds = [self.cache.get(o.payload["frame"]) for o in cands]
+        clouds += [clouds[-1]] * (KC - K)
+        guesses = np.stack(
+            [np.linalg.inv(iT @ o.transform) for o in cands]
+            + [np.eye(4)] * (KC - K)
+        ).astype(np.float32)
+        res = match_clouds_batch(
+            stack_clouds(clouds),
+            cur_cloud,
+            self.projector,
+            jnp.asarray(guesses),
+            acfg,
+        )
+        nz_all = np.asarray(res.image_nonzeros)
+        outl_all = np.asarray(res.image_outliers)
+        inl_all = np.asarray(res.image_inliers)
+        T_all = np.asarray(res.transform, np.float64)
+        info_all = np.asarray(res.information, np.float64)
+        for k, other in enumerate(cands):
             if (
-                nz < cfg.frame_min_nonzero_threshold
-                or outl > cfg.frame_max_outliers_threshold
-                or inl < cfg.frame_min_inliers_threshold
+                nz_all[k] < cfg.frame_min_nonzero_threshold
+                or outl_all[k] > cfg.frame_max_outliers_threshold
+                or inl_all[k] < cfg.frame_min_inliers_threshold
             ):
                 continue
             rel = MapRelation(
                 node_from=other,
                 node_to=key_node,
-                transform=np.asarray(res.transform, np.float64),
-                information=np.asarray(res.information, np.float64),
+                transform=T_all[k],
+                information=info_all[k],
                 is_closure=True,
             )
             self.manager.add_relation(rel)
