@@ -14,20 +14,22 @@ measured; Mosaic's dynamic_gather is single-(8,128)-tile only). Instead the
 correspondence fetch is reformulated as a *per-tile dynamically offset,
 banded one-hot select*:
 
-- an XLA prologue projects the current points, takes each (TR, TC) tile's
-  mean integer displacement, and block-gathers one (TR+2DV, TC+2DU)
-  reference window per tile (a batched `dynamic_slice` — contiguous block
-  reads, so arbitrary global motion costs one cheap pass), then
-- the Pallas kernel resolves the per-pixel residual displacement (parallax,
-  within-tile flow variation) with a (2*DV+1)x(2*DU+1) select-accumulate
-  window over its pre-sliced reference block — pure VPU multiply-adds on
-  static slices, no dynamic lane addressing on-chip.
+- a (cheap, fully fused) XLA prologue projects the current points and takes
+  each (TR, TC) tile's mean integer displacement as that tile's reference-
+  window origin, aligned DOWN to the (8, 128) memory tiling, then
+- the Pallas kernel double-buffer DMAs each tile's reference window straight
+  from HBM at those scalar-prefetched dynamic offsets (so arbitrary global
+  motion costs nothing), scans the window rows with static slices, and
+  resolves the per-pixel column with Mosaic's in-tile lane gather
+  (take_along_axis over 128-wide chunks) — no dynamic vector addressing.
 
-Pixels whose residual falls outside the window lose their correspondence
-(they fail the mask, exactly like a failed gate); with the tile-mean
-centering this only happens across strong depth discontinuities. The
-reference point is reconstructed from the gathered depth and the integer
-target pixel — bit-identical to the converter's unprojection
+The tile-aligned origins widen the effective residual window to
+[0, 2*DV+8) x [0, 2*DU+128) around each tile's mean flow, which covers
+depth-parallax spread within a tile (99+% correspondence recall vs the
+exact gather on the bench scene). Pixels outside it lose their
+correspondence exactly like a failed gate. The reference point is
+reconstructed from the gathered depth and the integer target pixel —
+bit-identical to the converter's unprojection
 (``pinholepointprojector.cpp:69-108``).
 
 Layouts: channel-planar f32 (see pwn/cloud.py).

@@ -137,3 +137,92 @@ def simulate(config: SimulatorConfig = SimulatorConfig()) -> SimulatedWorld:
             obs.append((i, int(l), z, info_l))
 
     return SimulatedWorld(gt, lms, odom, closures, obs)
+
+
+# ---------------------------------------------------------------------------
+# Laser-scan world simulation (ground truth for grid SLAM evaluation)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LaserWorldConfig:
+    """Rectangular room + inner walls, loop trajectory, ray-cast scans.
+
+    Provides the ground truth the bundled laser logs lack (EVAL grid-SLAM
+    section): the reference verifies its matchers only visually
+    (``mapper/matcher/test/openLoopSLAM.cpp``)."""
+
+    room: float = 12.0  # half-size of the square room
+    n_poses: int = 120
+    n_beams: int = 180
+    fov: float = 4.71238898  # 270 degrees
+    max_range: float = 15.0
+    range_noise: float = 0.01
+    odom_noise: tuple = (0.015, 0.01, 0.004)
+    seed: int = 0
+
+
+def _ray_segments(origin, theta, segs, max_range):
+    """Distance to the nearest segment along rays (numpy, vectorized)."""
+    d = np.stack([np.cos(theta), np.sin(theta)], -1)  # (B, 2)
+    p = np.asarray(segs)[:, 0]  # (S, 2)
+    q = np.asarray(segs)[:, 1]
+    e = q - p  # (S, 2)
+    # solve origin + t d = p + u e ;  t, u via 2x2 cross products
+    op = p[None, :, :] - origin[None, None, :]  # (1, S, 2)
+    dxe = d[:, None, 0] * e[None, :, 1] - d[:, None, 1] * e[None, :, 0]
+    t = (op[..., 0] * e[None, :, 1] - op[..., 1] * e[None, :, 0]) / np.where(
+        np.abs(dxe) < 1e-12, np.inf, dxe
+    )
+    u = (op[..., 0] * d[:, None, 1] - op[..., 1] * d[:, None, 0]) / np.where(
+        np.abs(dxe) < 1e-12, np.inf, dxe
+    )
+    hit = (t > 1e-6) & (u >= 0.0) & (u <= 1.0)
+    t = np.where(hit, t, np.inf)
+    r = t.min(axis=1)
+    return np.where(np.isfinite(r), np.minimum(r, max_range), max_range)
+
+
+def simulate_laser_world(config: LaserWorldConfig = LaserWorldConfig()):
+    """Returns dict: gt_poses (N,3), odometry deltas (N-1,3), scans
+    [(ranges, angles)], segments (walls)."""
+    cfg = config
+    rng = np.random.default_rng(cfg.seed)
+    R = cfg.room
+    segs = [
+        ((-R, -R), (R, -R)), ((R, -R), (R, R)),
+        ((R, R), (-R, R)), ((-R, R), (-R, -R)),
+        # inner walls break the symmetry so scan matching locks
+        ((-R * 0.4, -R), (-R * 0.4, -R * 0.25)),
+        ((R * 0.35, R * 0.1), (R, R * 0.1)),
+        ((-R * 0.2, R * 0.45), (R * 0.3, R * 0.45)),
+    ]
+    segs = np.asarray(segs, np.float64)
+
+    # loop trajectory: a rounded rectangle inside the room
+    a = R * 0.55
+    ts = np.linspace(0, 2 * np.pi, cfg.n_poses, endpoint=False)
+    xs = a * np.sign(np.cos(ts)) * np.abs(np.cos(ts)) ** 0.6
+    ys = a * np.sign(np.sin(ts)) * np.abs(np.sin(ts)) ** 0.6
+    th = np.arctan2(np.gradient(ys), np.gradient(xs))
+    gt = np.stack([xs, ys, th], -1)
+
+    angles = np.linspace(-cfg.fov / 2, cfg.fov / 2, cfg.n_beams).astype(np.float32)
+    scans = []
+    for k in range(cfg.n_poses):
+        world_theta = gt[k, 2] + angles
+        r = _ray_segments(gt[k, :2], world_theta, segs, cfg.max_range)
+        r = r + rng.normal(0, cfg.range_noise, r.shape)
+        scans.append((r.astype(np.float32), angles))
+
+    deltas = []
+    for k in range(1, cfg.n_poses):
+        d = _rel(gt[k - 1], gt[k])
+        d = d + rng.normal(0, cfg.odom_noise, 3)
+        deltas.append(d.astype(np.float32))
+    return {
+        "gt_poses": gt.astype(np.float32),
+        "odom_deltas": np.asarray(deltas, np.float32),
+        "scans": scans,
+        "segments": segs,
+    }

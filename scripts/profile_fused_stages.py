@@ -14,7 +14,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from g2o_frontend_tpu.ops import pallas_aligner as pa
 
 H, W = 480, 640
-TR, TC, DV, DU = 16, 128, 4, 6
+TR = int(os.environ.get("TR", 16)); TC = 128
+DV, DU = 4, 6
 rng = np.random.default_rng(0)
 cur_p = jnp.asarray(rng.normal(size=(20, H, W)), jnp.float32)
 ref_p = jnp.asarray(rng.normal(size=(5, H + 2 * DV, W + 2 * DU)), jnp.float32)
