@@ -25,6 +25,13 @@ DATA = "/root/reference/datasets/2D"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "eval_out")
 
+# The 2D evals are dominated by many small host-loop dispatches; the
+# tunneled TPU's per-dispatch latency makes CPU the right backend here
+# (PWN/TPU benchmarking lives in bench.py). Override with EVAL_PLATFORM.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ.get("EVAL_PLATFORM", "cpu"))
+
 
 def _rel_np(a, b):
     c, s = np.cos(a[2]), np.sin(a[2])

@@ -65,3 +65,68 @@ class TestVoronoi:
         mid_rows = np.where(sk[:, W // 2])[0]
         assert len(mid_rows) >= 1
         assert np.all(np.abs(mid_rows - (H - 1) / 2) <= 1.5), mid_rows
+
+
+class TestVoronoiGraph:
+    """Diagram graph extraction (voronoi_diagram.h:40-49 semantics)."""
+
+    def test_plus_shape(self):
+        import numpy as np
+        from g2o_frontend_tpu.ops.voronoi_graph import extract_graph
+
+        mask = np.zeros((21, 21), bool)
+        mask[10, 2:19] = True  # horizontal bar
+        mask[2:19, 10] = True  # vertical bar
+        g = extract_graph(mask)
+        # one junction + four endpoints, four edges, one component
+        assert g.n_vertices == 5, g.vertices
+        assert g.n_edges == 4
+        assert g.n_components == 1
+        degs = np.zeros(g.n_vertices, int)
+        for (i, j, L, path) in g.edges:
+            degs[i] += 1
+            degs[j] += 1
+            assert L == len(path) - 1  # axis-aligned chains
+        assert sorted(degs) == [1, 1, 1, 1, 4]
+
+    def test_two_components(self):
+        import numpy as np
+        from g2o_frontend_tpu.ops.voronoi_graph import extract_graph
+
+        mask = np.zeros((16, 32), bool)
+        mask[4, 2:12] = True
+        mask[11, 18:30] = True
+        g = extract_graph(mask)
+        assert g.n_vertices == 4
+        assert g.n_edges == 2
+        assert g.n_components == 2
+
+    def test_floor_plan_corridor(self):
+        """Synthetic two-room floor plan: the diagram skeleton of the free
+        space links the rooms through the doorway."""
+        import numpy as np
+        import jax.numpy as jnp
+        from g2o_frontend_tpu.ops.distance_transform import (
+            distance_transform, voronoi_edges)
+        from g2o_frontend_tpu.ops.voronoi_graph import extract_graph, region_labels
+
+        H, W = 48, 80
+        occ = np.zeros((H, W), bool)
+        occ[0, :] = occ[-1, :] = True
+        occ[:, 0] = occ[:, -1] = True
+        occ[:, 40] = True
+        occ[20:28, 40] = False  # doorway
+        dist, nearest = distance_transform(jnp.asarray(occ))
+        mask = np.asarray(voronoi_edges(np.asarray(nearest)))
+        free = ~occ
+        g = extract_graph(mask, np.asarray(dist))
+        assert g.n_vertices >= 2
+        assert g.n_edges >= 1
+        assert g.n_components >= 1
+        # the diagram reaches both rooms
+        cols = g.vertices[:, 1]
+        assert (cols < 40).any() and (cols > 40).any()
+        # vertices sit in cleared space
+        assert (g.vertex_dist > 0.5).all()
+        labels, n_regions = region_labels(mask, free)
+        assert n_regions >= 2
