@@ -89,7 +89,12 @@ def main(argv=None):
         args.kf_fraction = 0.4
     tracker = PwnTracker(
         proj, ccfg, acfg,
-        PwnTrackerConfig(new_frame_inliers_fraction=args.kf_fraction),
+        PwnTrackerConfig(
+            new_frame_inliers_fraction=args.kf_fraction,
+            min_cloud_inliers=max(
+                50, int(3000 * (proj.rows * proj.cols) / (480 * 640))
+            ),
+        ),
     )
 
     timestamps = []

@@ -87,9 +87,13 @@ def main(argv=None):
     kf_fraction = args.kf_fraction
     if kf_fraction is None:
         kf_fraction = 0.7 if args.synthetic else 0.4
+    # minCloudInliers is a 640x480 scale-1 value (conf PwnTracker line);
+    # scale it with the image area
+    min_inl = max(50, int(3000 * (proj.rows * proj.cols) / (480 * 640)))
     tracker = PwnTracker(
         proj, ccfg, acfg,
-        PwnTrackerConfig(new_frame_inliers_fraction=kf_fraction),
+        PwnTrackerConfig(new_frame_inliers_fraction=kf_fraction,
+                         min_cloud_inliers=min_inl),
     )
     closer = MapCloser(tracker.manager, tracker.cache, proj, acfg, closer_cfg)
     reflector = MapReflector(tracker.manager)

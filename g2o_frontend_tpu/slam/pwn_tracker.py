@@ -43,6 +43,8 @@ class CloudCache:
         self.max_slots = max_slots
         self._depths: dict[int, np.ndarray] = {}
         self._clouds: OrderedDict[int, object] = OrderedDict()
+        self.evictions = 0  # observability: cache pressure counter
+        self.recomputes = 0  # get() calls that had to rebuild a cloud
 
     def put(self, key: int, depth):
         self._depths[key] = np.asarray(depth)
@@ -51,12 +53,14 @@ class CloudCache:
         if key in self._clouds:
             self._clouds.move_to_end(key)
             return self._clouds[key]
+        self.recomputes += 1
         cloud = depth_to_cloud(
             jnp.asarray(self._depths[key], jnp.float32), self.projector, self.ccfg
         )
         self._clouds[key] = cloud
         if len(self._clouds) > self.max_slots:
             self._clouds.popitem(last=False)
+            self.evictions += 1
         return cloud
 
     def __contains__(self, key):
@@ -134,7 +138,10 @@ class PwnTracker:
         inliers = int(res.inliers)
         T = np.asarray(res.T, np.float64)
 
-        fallback = inliers <= 0
+        # minCloudInliers gate (conf PwnTracker minCloudInliers; the tracker
+        # falls back to the odometry guess on a failed alignment,
+        # pwn_tracker.cpp:146-152)
+        fallback = inliers < max(1, cfg.min_cloud_inliers)
         if fallback:
             self.global_T = self.global_T @ guess  # odometry fallback
         else:
@@ -198,6 +205,7 @@ def odometry_scan(
     ccfg: ConverterConfig = ConverterConfig(),
     acfg: AlignerConfig = AlignerConfig(),
     kf_fraction: float = 0.4,
+    min_cloud_inliers: int = 3000,
 ):
     """Whole-sequence odometry as ONE device program (`lax.scan`).
 
@@ -222,7 +230,8 @@ def odometry_scan(
         cur = depth_to_cloud(depth, projector, ccfg)
         guess = jnp.linalg.solve(kf_T, global_T)  # prevKF_T^-1 @ globalT
         res = align(ref, cur, projector, guess, acfg)
-        ok = res.inliers > 0
+        # minCloudInliers fallback gate, matching PwnTracker.process_frame
+        ok = res.inliers >= max(1, min_cloud_inliers)
         global_T = jnp.where(ok, kf_T @ res.T, global_T @ guess)
         fraction = res.inliers / max_inliers
         new_kf = (fraction < kf_fraction) | ~ok

@@ -45,6 +45,8 @@ def main():
     from g2o_frontend_tpu.graph.store import graph2d_from_log
     from g2o_frontend_tpu.io.g2o import read_g2o
     from g2o_frontend_tpu.parallel.mesh import make_mesh
+    from g2o_frontend_tpu.parallel.partitioned_pose_graph import (
+        optimize_se2_partitioned)
     from g2o_frontend_tpu.parallel.sharded_pose_graph import optimize_se2_sharded
 
     log = read_g2o(os.path.join(DATA, args.dataset))
@@ -62,9 +64,24 @@ def main():
         )
         chi2 = np.asarray(trace)
         dt = time.perf_counter() - t0
+        # partitioned-state solver (ghost halo exchange) + comm accounting
+        g2, tr2, pstats = optimize_se2_partitioned(
+            g, mesh, iters=2, cg_iters=args.cg_iters)
+        t1 = time.perf_counter()
+        g2, tr2, pstats = optimize_se2_partitioned(
+            g, mesh, iters=args.iters, cg_iters=args.cg_iters)
+        dt_part = time.perf_counter() - t1
         results[nd] = {
             "lm_iters_per_s": args.iters / dt,
             "chi2_final": float(chi2[-1]),
+            "part_lm_iters_per_s": args.iters / dt_part,
+            "part_chi2_final": float(np.asarray(tr2)[-1]),
+            "part_bytes_sharded_per_device":
+                pstats["partition"]["bytes_sharded_per_device"],
+            "part_bytes_full_graph": pstats["partition"]["bytes_full_graph"],
+            "part_comm_bytes_per_matvec": pstats["comm"]["bytes_per_matvec"],
+            "part_comm_bytes_total": pstats["comm"]["bytes_total"],
+            "part_cg_matvecs": pstats["cg_total"],
         }
         print(
             json.dumps(

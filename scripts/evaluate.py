@@ -261,6 +261,8 @@ def eval_victoria(fast):
             loop_guess_max_feature_distance=60.0,
             loop_ransac_inlier_threshold=2.0,
             odometry_is_good=True,
+            global_optimize_iters=30,
+            cg_iters=150,
         )
     )
     prev = None
@@ -276,10 +278,15 @@ def eval_victoria(fast):
         prev = pose
         obs = np.asarray(feats.get(vid, np.zeros((0, 2))), np.float32)
         tr.process_frame(delta, obs)
-        if (k + 1) % 100 == 0:
+        if (k + 1) % 50 == 0:
             tr.close_loops()
-    tr.merge_nearby_landmarks()
-    chi2 = tr.optimize(local=False)
+    # two rounds of close -> merge -> global optimize (landmark merges open
+    # new closure matches once the graph tightens)
+    chi2 = 0.0
+    for _ in range(2):
+        tr.merge_nearby_landmarks()
+        tr.close_loops()
+        chi2 = tr.optimize(local=False)
     wall = time.perf_counter() - t0
 
     est = tr.trajectory()[: len(ref_traj)]
@@ -312,6 +319,146 @@ def eval_victoria(fast):
     return out
 
 
+def eval_grid_slam_gt(fast):
+    """Grid SLAM vs simulator ground truth (the bundled laser log has none)."""
+    from g2o_frontend_tpu.slam.grid_slam import GridSlam2D, GridSlamConfig
+    from g2o_frontend_tpu.slam.simulator import (
+        LaserWorldConfig, simulate_laser_world)
+    from g2o_frontend_tpu.utils.evaluation import ate_xy
+
+    noise = (0.08, 0.05, 0.02)
+    w = simulate_laser_world(LaserWorldConfig(
+        n_poses=60 if fast else 120, n_beams=360, room=6.0, max_range=16.0,
+        odom_noise=noise))
+    slam = GridSlam2D(GridSlamConfig(map_half_size=8.4, scans_per_submap=12,
+                                     min_match_score=30.0))
+    slam.process_scan(*w["scans"][0], np.zeros(3, np.float32))
+    for k in range(1, len(w["scans"])):
+        slam.process_scan(*w["scans"][k], w["odom_deltas"][k - 1])
+    slam.optimize(iters=10, cg_iters=100)
+    est = np.asarray(slam.poses)
+    gt = w["gt_poses"][: len(est)]
+
+    def comp(a, d):
+        c, s = np.cos(a[2]), np.sin(a[2])
+        return np.array([a[0] + c * d[0] - s * d[1],
+                         a[1] + s * d[0] + c * d[1], a[2] + d[2]])
+
+    odo = [gt[0]]
+    for d in w["odom_deltas"]:
+        odo.append(comp(odo[-1], d))
+    odo = np.asarray(odo)[: len(est)]
+    return {
+        "frames": int(len(est)),
+        "odom_noise": noise,
+        "ate_slam_m": float(ate_xy(est[:, :2], gt[:, :2])["rmse"]),
+        "ate_odom_m": float(ate_xy(odo[:, :2], gt[:, :2])["rmse"]),
+    }
+
+
+def eval_pwn_slam_long(fast):
+    """500+ frame synthetic RGB-D run with revisits, cloud-cache pressure
+    (cache_slots < keyframes) and closure consensus under conflicting
+    candidates; ATE vs the synthetic ground truth (VERDICT r1 item 7)."""
+    import jax.numpy as jnp
+
+    from g2o_frontend_tpu.graph.reflector import MapReflector
+    from g2o_frontend_tpu.pwn.aligner import AlignerConfig
+    from g2o_frontend_tpu.pwn.converter import ConverterConfig
+    from g2o_frontend_tpu.slam.map_closer import CloserConfig, MapCloser
+    from g2o_frontend_tpu.slam.pwn_tracker import PwnTracker, PwnTrackerConfig
+    from g2o_frontend_tpu.utils.synth import default_projector, render_planes_depth
+
+    n_frames = 120 if fast else 500
+    proj = default_projector(H=96, W=128)
+    ccfg = ConverterConfig(min_image_radius=3, max_image_radius=8, min_points=12)
+    acfg = AlignerConfig(outer_iterations=6)
+    tracker = PwnTracker(
+        proj, ccfg, acfg,
+        PwnTrackerConfig(new_frame_inliers_fraction=0.75, cache_slots=10,
+                         min_cloud_inliers=500),
+    )
+    closer = MapCloser(
+        tracker.manager, tracker.cache, proj, acfg,
+        CloserConfig(
+            translational_distance=0.5,
+            frame_min_nonzero_threshold=2000,
+            frame_max_outliers_threshold=6000,
+            frame_min_inliers_threshold=2000,
+            consensus_min_times_checked=2,
+        ),
+    )
+    reflector = MapReflector(tracker.manager)
+
+    # three laps of a wandering loop with vertical bob + yaw sweep: plenty
+    # of revisits, keyframes > cache_slots
+    gts = []
+    rng = np.random.default_rng(5)
+    for k in range(n_frames):
+        a = 2 * np.pi * (3.0 * k / n_frames)
+        T = np.eye(4)
+        T[:3, 3] = [0.55 * np.cos(a) + 0.05 * np.sin(5 * a),
+                    0.06 * np.sin(2 * a),
+                    0.3 * np.sin(a)]
+        yaw = 0.3 * np.sin(a) + 0.08 * np.cos(3 * a)
+        c, s = np.cos(yaw), np.sin(yaw)
+        T[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        gts.append(T)
+
+    t0 = time.perf_counter()
+    n_committed = 0
+    n_candidates = 0
+    kf_at_last_opt = 0
+    for k, T in enumerate(gts):
+        depth = render_planes_depth(T, proj)
+        m = tracker.process_frame(depth)
+        if m["keyframe"] and tracker.n_keyframes > 2:
+            before = len(
+                [r for r in tracker.manager.relations if r.is_closure]
+            )
+            rels = closer.process_key_node(tracker.manager.nodes[-1])
+            after = len([r for r in tracker.manager.relations if r.is_closure])
+            n_candidates += max(after - before, 0) + len(rels)
+            n_committed += len(rels)
+            if rels or tracker.n_keyframes - kf_at_last_opt >= 6:
+                reflector.optimize(iters=5, cg_iters=40)
+                kf_at_last_opt = tracker.n_keyframes
+                tracker.global_T = tracker.prev_kf_node.transform.copy()
+                tracker.prev_kf_T = tracker.global_T.copy()
+    chi2 = reflector.optimize(iters=10, cg_iters=60)
+    wall = time.perf_counter() - t0
+
+    est = tracker.trajectory_array()
+    # the tracker's frame is anchored at the first camera pose
+    T0_inv = np.linalg.inv(gts[0])
+    gt = np.stack([T0_inv @ T for T in gts])[: len(est)]
+    t_err = np.linalg.norm(est[:, :3, 3] - gt[:, :3, 3], axis=1)
+    # map-quality ATE: optimized keyframe poses vs GT at keyframe frames
+    kf_err = []
+    for node in tracker.manager.nodes:
+        f = node.payload.get("frame")
+        if f is not None and f < len(gt):
+            kf_err.append(
+                np.linalg.norm(node.transform[:3, 3] - gt[f][:3, 3])
+            )
+    kf_err = np.asarray(kf_err)
+    return {
+        "frames": n_frames,
+        "keyframes": tracker.n_keyframes,
+        "cache_slots": tracker.cache.max_slots,
+        "cache_evictions": tracker.cache.evictions,
+        "cache_recomputes": tracker.cache.recomputes,
+        "closures_committed": n_committed,
+        "closure_candidates": n_candidates,
+        "fallbacks": int(sum(m.get("fallback", False) for m in tracker.metrics)),
+        "ate_rmse_m": float(np.sqrt(np.mean(t_err**2))),
+        "ate_max_m": float(t_err.max()),
+        "kf_ate_rmse_m": float(np.sqrt(np.mean(kf_err**2))),
+        "final_chi2": float(chi2),
+        "wall_s": round(wall, 1),
+    }
+
+
 def eval_pwn_slam():
     from g2o_frontend_tpu.apps.pwn_slam import main as pwn_main
     import io
@@ -342,7 +489,9 @@ def main():
     results["pose_graphs"] = eval_pose_graphs(args.fast)
     results["unknown_da"] = eval_unknown_da(args.fast)
     results["grid_slam"] = eval_grid_slam(args.fast)
+    results["grid_slam_gt"] = eval_grid_slam_gt(args.fast)
     results["pwn_slam"] = eval_pwn_slam()
+    results["pwn_slam_long"] = eval_pwn_slam_long(args.fast)
 
     lines = ["# Evaluation results", "",
              "Bundled-dataset evaluation per BASELINE.md configs.", ""]
@@ -376,10 +525,28 @@ def main():
               "reflect scan-matching corrections)",
               f"- wall {gsl['wall_s']} s",
               "- figure: eval_out/grid_slam_graphSE2.png"]
+    gt = results["grid_slam_gt"]
+    lines += ["", "### Grid SLAM vs simulator ground truth", "",
+              f"- {gt['frames']} scans, odometry noise {gt['odom_noise']}: "
+              f"ATE **{gt['ate_slam_m']:.3f} m** vs odometry "
+              f"{gt['ate_odom_m']:.3f} m (laser-world simulator, "
+              "slam/simulator.py)"]
     p = results["pwn_slam"]
     lines += ["", "## 4. PWN SLAM (synthetic RGB-D loop)", "",
               f"- frames {p['frames']}, keyframes {p['keyframes']}, "
               f"closures {p['closures']}, final chi2 {p['final_chi2']:.2e}"]
+    pl = results["pwn_slam_long"]
+    lines += ["", "### Long PWN SLAM stress run (revisits + cache pressure)", "",
+              f"- frames {pl['frames']}, keyframes {pl['keyframes']} with "
+              f"cache_slots {pl['cache_slots']} (evictions "
+              f"{pl['cache_evictions']}, recomputes {pl['cache_recomputes']})",
+              f"- closures committed {pl['closures_committed']} of "
+              f"{pl['closure_candidates']} candidates; "
+              f"fallbacks {pl['fallbacks']}",
+              f"- ATE vs synthetic ground truth: online **{pl['ate_rmse_m']:.3f} m**, "
+              f"optimized keyframes **{pl['kf_ate_rmse_m']:.3f} m** "
+              f"(max {pl['ate_max_m']:.3f} m), final chi2 "
+              f"{pl['final_chi2']:.2e}, wall {pl['wall_s']} s"]
 
     # persistent sidecar sections (produced by their own runners)
     vic_path = os.path.join(OUT, "victoria.json")
@@ -393,6 +560,30 @@ def main():
                   f"- final chi2 {v['chi2']:.1f}, wall {v['wall_s']} s",
                   "- figure: eval_out/unknown_da_victoria.png",
                   "- produced by: scripts/evaluate.py --only victoria"]
+    tb_path = os.path.join(OUT, "tpu_bench.json")
+    if os.path.isfile(tb_path):
+        t = json.load(open(tb_path))
+        rf = t["roofline"]
+        lines += ["", "## 7. PWN aligner on TPU (fused Pallas kernel)", "",
+                  f"Platform: {t['platform']}; reference envelope 640x480, "
+                  "10 outer x 1 inner (aligner.cpp:19-20).", "",
+                  f"- fused Pallas path: **{t['align_fps_fused']} fps** "
+                  f"({t['align_ms_per_iteration_fused']} ms per iteration); "
+                  f"XLA gather path {t['align_fps_gather']} fps; "
+                  f"{t['vs_cpu_control']}x the CPU control",
+                  f"- transform error {t['align_t_err_m']*1000:.2f} mm, "
+                  f"correspondence recall {t['align_inlier_recall_vs_gather']*100:.1f}% "
+                  "of the exact gather, validity gates intact",
+                  f"- end-to-end tracker {t['tracker_fps_e2e']} fps, "
+                  f"depth->cloud {t['convert_fps']} fps",
+                  "", "### Roofline", "",
+                  f"- bytes/iteration ~{rf['bytes_per_iteration']/1e6:.1f} MB -> "
+                  f"HBM floor {rf['hbm_floor_us']} us at {rf['hbm_bw_gbps']} GB/s; "
+                  f"measured {rf['measured_us']} us = "
+                  f"{rf['hbm_roofline_fraction']*100:.0f}% of HBM roofline",
+                  f"- bound: {rf['bound']}",
+                  f"- {rf['notes']}",
+                  "- produced by: bench.py (BENCH_r02) + scripts/profile_fused_stages.py"]
     sc_path = os.path.join(OUT, "scaling.json")
     if os.path.isfile(sc_path):
         s = json.load(open(sc_path))
@@ -414,8 +605,29 @@ def main():
                   "the sharded program's overhead and cross-mesh chi2 parity "
                   f"(relative spread {s['chi2_relative_spread']:.1e}). "
                   "Real scaling needs an ICI slice (BASELINE.md); the "
-                  "mechanism (shard_map + psum) is identical.",
-                  "- produced by: scripts/bench_scaling.py"]
+                  "mechanism (shard_map + psum) is identical.", ""]
+        if any("part_chi2_final" in r for r in s["results"].values()):
+            lines += ["### Partitioned-state solver (ghost halo exchange)", "",
+                      "| devices | LM iters/s | chi2 final | sharded B/dev | "
+                      "comm B/matvec | comm B total |",
+                      "|---|---|---|---|---|---|"]
+            for nd, r in s["results"].items():
+                if "part_chi2_final" not in r:
+                    continue
+                lines.append(
+                    f"| {nd} | {r['part_lm_iters_per_s']:.3f} | "
+                    f"{r['part_chi2_final']:.4e} | "
+                    f"{r['part_bytes_sharded_per_device']:.0f} | "
+                    f"{r['part_comm_bytes_per_matvec']:.0f} | "
+                    f"{r['part_comm_bytes_total']:.3e} |"
+                )
+            lines += ["",
+                      "Pose blocks, per-edge linearizations, Hessian diagonal "
+                      "blocks and CG state are sharded per device "
+                      "(parallel/partitioned_pose_graph.py); per-matvec "
+                      "communication = one all_gather of the pose field + one "
+                      "psum scatter-reduce of ghost contributions."]
+        lines += ["- produced by: scripts/bench_scaling.py"]
     with open(os.path.join(OUT, "..", "EVAL.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(json.dumps(results, indent=1))

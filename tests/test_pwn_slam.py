@@ -167,12 +167,14 @@ def test_odometry_scan_matches_host_tracker():
     depths = np.stack(depths)
 
     traj, metrics = odometry_scan(
-        jnp.asarray(depths), proj, ccfg, acfg, kf_fraction=0.4)
+        jnp.asarray(depths), proj, ccfg, acfg, kf_fraction=0.4,
+        min_cloud_inliers=200)
     traj = np.asarray(traj)
     assert traj.shape == (K, 4, 4)
 
     host = PwnTracker(proj, ccfg, acfg,
-                      PwnTrackerConfig(new_frame_inliers_fraction=0.4))
+                      PwnTrackerConfig(new_frame_inliers_fraction=0.4,
+                                       min_cloud_inliers=200))
     for k in range(K):
         host.process_frame(jnp.asarray(depths[k], jnp.float32))
     host_traj = host.trajectory_array()
