@@ -382,3 +382,236 @@ def optimize_se2_partitioned(
         "cg_total": int(np.asarray(cg_tot)),
     }
     return g_out, trace, stats
+
+
+# ---------------------------------------------------------------------------
+# SE3 variant (pose-only graphs; 7-dim state, 6-DOF twist updates)
+# ---------------------------------------------------------------------------
+
+
+class PartitionedSE3(NamedTuple):
+    poses_blk: np.ndarray  # (D, B, 7)
+    free_p_blk: np.ndarray  # (D, B) f32
+    ghost_ids: np.ndarray  # (D, G) int32
+    pp_ij: np.ndarray  # (D, E, 2) int32 local slots
+    pp_meas: np.ndarray  # (D, E, 7)
+    pp_info: np.ndarray  # (D, E, 6, 6)
+    pp_mask: np.ndarray  # (D, E) bool
+    n_poses: int
+
+
+def partition_se3(g, n_dev: int) -> PartitionedSE3:
+    """Block-partition a PoseGraph3D over n_dev shards (host-side)."""
+    poses = np.asarray(g.poses)
+    pose_mask = np.asarray(g.pose_mask)
+    fixed = np.asarray(g.fixed)
+    NP = int(pose_mask.sum())
+    B = -(-NP // n_dev)
+
+    pp_ij = np.asarray(g.pp_ij)
+    pp_mask = np.asarray(g.pp_mask)
+    own = [[] for _ in range(n_dev)]
+    for k in np.where(pp_mask)[0]:
+        own[min(pp_ij[k, 0], pp_ij[k, 1]) // B].append(k)
+    E = max(8, max((len(b) for b in own), default=0))
+
+    ghosts = []
+    for s in range(n_dev):
+        lo, hi = s * B, (s + 1) * B
+        gset = {
+            int(p)
+            for k in own[s]
+            for p in pp_ij[k]
+            if not (lo <= p < hi)
+        }
+        ghosts.append(sorted(gset))
+    G = max(8, max((len(gl) for gl in ghosts), default=0))
+
+    poses_blk = np.zeros((n_dev, B, 7), np.float32)
+    poses_blk[..., 6] = 1.0  # identity quaternion w for padding slots
+    free_p_blk = np.zeros((n_dev, B), np.float32)
+    ghost_ids = np.zeros((n_dev, G), np.int32)
+    pp_ij_l = np.zeros((n_dev, E, 2), np.int32)
+    pp_meas_l = np.zeros((n_dev, E, 7), np.float32)
+    pp_meas_l[..., 6] = 1.0
+    pp_info_l = np.zeros((n_dev, E, 6, 6), np.float32)
+    pp_mask_l = np.zeros((n_dev, E), bool)
+    pp_meas = np.asarray(g.pp_meas)
+    pp_info = np.asarray(g.pp_info)
+
+    for s in range(n_dev):
+        lo = s * B
+        blk = poses[lo : lo + B]
+        poses_blk[s, : len(blk)] = blk
+        free_p_blk[s, : len(blk)] = (pose_mask & ~fixed)[lo : lo + B]
+        gmap = {p: B + r for r, p in enumerate(ghosts[s])}
+        ghost_ids[s, : len(ghosts[s])] = ghosts[s]
+
+        def loc(p):
+            return p - lo if lo <= p < lo + B else gmap[int(p)]
+
+        for r, k in enumerate(own[s]):
+            pp_ij_l[s, r] = (loc(pp_ij[k, 0]), loc(pp_ij[k, 1]))
+            pp_meas_l[s, r] = pp_meas[k]
+            pp_info_l[s, r] = pp_info[k]
+            pp_mask_l[s, r] = True
+    return PartitionedSE3(
+        poses_blk, free_p_blk, ghost_ids,
+        pp_ij_l, pp_meas_l, pp_info_l, pp_mask_l, NP,
+    )
+
+
+def optimize_se3_partitioned(
+    g,
+    mesh,
+    iters: int = 10,
+    cg_iters: int = 100,
+    lm_lambda0: float = 1e-4,
+):
+    """SE3 twin of `optimize_se2_partitioned`: pose blocks + ghost halos."""
+    from ..graph.store import PoseGraph3D
+
+    n_dev = mesh.devices.size
+    part = partition_se3(g, n_dev)
+    B = part.poses_blk.shape[1]
+    G = part.ghost_ids.shape[1]
+    NPp = n_dev * B
+    dtype = jnp.float32
+
+    shard = P(EDGE_AXIS)
+    rep = P()
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(shard,) * 7,
+        out_specs=(shard, rep),
+    )
+    def run(poses_blk, free_p_blk, ghost_ids, pp_ij, pp_meas, pp_info, pp_mask):
+        poses_blk = poses_blk[0]
+        free_p = free_p_blk[0]
+        gids = ghost_ids[0]
+        pp_ij_l, pp_meas_l = pp_ij[0], pp_meas[0]
+        pp_info_l, pp_mask_l = pp_info[0], pp_mask[0]
+        my = jax.lax.axis_index(EDGE_AXIS)
+        own_gids = my * B + jnp.arange(B, dtype=jnp.int32)
+        all_gids = jnp.concatenate([own_gids, gids])
+
+        def gather_aug(v_blk):
+            vg = jax.lax.all_gather(v_blk, EDGE_AXIS, tiled=True)
+            return jnp.concatenate([v_blk, vg[gids]], axis=0)
+
+        def ghost_reduce(contrib):
+            glob = jnp.zeros((NPp,) + contrib.shape[1:], contrib.dtype)
+            glob = glob.at[all_gids].add(contrib)
+            glob = jax.lax.psum(glob, EDGE_AXIS)
+            return jax.lax.dynamic_slice_in_dim(glob, my * B, B, axis=0)
+
+        def local_graph(aug_poses):
+            return PoseGraph3D(
+                poses=aug_poses,
+                pose_mask=jnp.ones(B + G, bool),
+                pp_ij=pp_ij_l,
+                pp_meas=pp_meas_l,
+                pp_info=pp_info_l,
+                pp_mask=pp_mask_l,
+                fixed=jnp.zeros(B + G, bool),
+            )
+
+        def apply_update(poses, dp):
+            def one(p, d):
+                T = pg._pose7_to_T(p) @ lie.se3_exp(d)
+                return pg._T_to_pose7(T)
+
+            return jax.vmap(one)(poses, dp)
+
+        def chi2_of(poses_blk):
+            gk = local_graph(gather_aug(poses_blk))
+            return jax.lax.psum(pg.linearize_se3(gk).chi2, EDGE_AXIS)
+
+        def step(k, state):
+            poses_blk, lam, trace = state
+            aug = gather_aug(poses_blk)
+            gk = local_graph(aug)
+            lin = pg.linearize_se3(gk)
+            chi2 = jax.lax.psum(lin.chi2, EDGE_AXIS)
+            we = jnp.einsum("kij,kj->ki", lin.w_pp, lin.e_pp)
+            NPl = B + G
+            gp_aug = jax.ops.segment_sum(
+                jnp.einsum("kdi,kd->ki", lin.Ji_pp, we), pp_ij_l[:, 0], NPl
+            ) + jax.ops.segment_sum(
+                jnp.einsum("kdi,kd->ki", lin.Jj_pp, we), pp_ij_l[:, 1], NPl
+            )
+            gp = ghost_reduce(gp_aug)
+            Hii = jnp.einsum("kdi,kde,kej->kij", lin.Ji_pp, lin.w_pp, lin.Ji_pp)
+            Hjj = jnp.einsum("kdi,kde,kej->kij", lin.Jj_pp, lin.w_pp, lin.Jj_pp)
+            Dp_aug = jax.ops.segment_sum(Hii, pp_ij_l[:, 0], NPl) + (
+                jax.ops.segment_sum(Hjj, pp_ij_l[:, 1], NPl)
+            )
+            Dp = ghost_reduce(Dp_aug)
+
+            def hvp(v):
+                (vp,) = v
+                vp = vp * free_p[:, None]
+                va = gather_aug(vp)
+                vi = va[pp_ij_l[:, 0]]
+                vj = va[pp_ij_l[:, 1]]
+                Jv = jnp.einsum("kdi,ki->kd", lin.Ji_pp, vi) + jnp.einsum(
+                    "kdi,ki->kd", lin.Jj_pp, vj
+                )
+                WJv = jnp.einsum("kde,ke->kd", lin.w_pp, Jv)
+                hp_aug = jax.ops.segment_sum(
+                    jnp.einsum("kdi,kd->ki", lin.Ji_pp, WJv), pp_ij_l[:, 0], NPl
+                ) + jax.ops.segment_sum(
+                    jnp.einsum("kdi,kd->ki", lin.Jj_pp, WJv), pp_ij_l[:, 1], NPl
+                )
+                hp = ghost_reduce(hp_aug)
+                hp = hp + lam * jnp.einsum("kij,kj->ki", Dp, vp)
+                hp = hp * free_p[:, None] + (1.0 - free_p)[:, None] * v[0]
+                return (hp,)
+
+            eye6 = jnp.eye(6, dtype=dtype)
+            Dp_d = (1.0 + lam) * Dp + 1e-6 * eye6
+            Dp_d = jnp.where(free_p[:, None, None] > 0, Dp_d, eye6)
+            Dp_inv = jnp.linalg.inv(Dp_d)
+
+            def precond(r):
+                return (jnp.einsum("kij,kj->ki", Dp_inv, r[0]),)
+
+            def tree_dot(a, b):
+                return jax.lax.psum(jnp.vdot(a[0], b[0]), EDGE_AXIS)
+
+            b = (-gp * free_p[:, None],)
+            (dp_,), _, _ = pcg(hvp, b, precond, max_iters=cg_iters,
+                               rtol=1e-8, tree_dot=tree_dot)
+            new_poses = apply_update(poses_blk, dp_ * free_p[:, None])
+            new_chi2 = chi2_of(new_poses)
+            accept = new_chi2 < chi2
+            poses_blk = jnp.where(accept, new_poses, poses_blk)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-10),
+                            jnp.minimum(lam * 4.0, 1e8))
+            trace = trace.at[k + 1].set(jnp.where(accept, new_chi2, chi2))
+            return poses_blk, lam, trace
+
+        trace0 = jnp.zeros(iters + 1, dtype).at[0].set(chi2_of(poses_blk))
+        poses_blk, lam, trace = jax.lax.fori_loop(
+            0, iters, step,
+            (poses_blk, jnp.asarray(lm_lambda0, dtype), trace0),
+        )
+        return poses_blk[None], trace
+
+    poses_blk, trace = jax.jit(run)(
+        jnp.asarray(part.poses_blk),
+        jnp.asarray(part.free_p_blk),
+        jnp.asarray(part.ghost_ids),
+        jnp.asarray(part.pp_ij), jnp.asarray(part.pp_meas),
+        jnp.asarray(part.pp_info), jnp.asarray(part.pp_mask),
+    )
+    NP_full = g.poses.shape[0]
+    poses_flat = np.asarray(poses_blk).reshape(-1, 7)[:NP_full]
+    if len(poses_flat) < NP_full:
+        poses_flat = np.concatenate(
+            [poses_flat, np.asarray(g.poses)[len(poses_flat):]], axis=0
+        )
+    g_out = g.with_poses(jnp.asarray(poses_flat))
+    return g_out, trace

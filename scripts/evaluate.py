@@ -66,10 +66,13 @@ def eval_pose_graphs(fast):
         tr = np.asarray(stats.chi2)
         wall = time.perf_counter() - t0
         ctl = control_optimize_se2(g, max_iters=150)
-        # exact-Newton TPU mode where the dense Hessian is tractable
+        # exact-Newton mode where the dense Hessian is tractable on the
+        # current backend (victoriaPark's 21k-DOF dense Cholesky is a TPU
+        # MXU workload; on the CPU eval backend cap the size)
         D = 3 * g.n_poses
         direct_chi2 = None
-        if D <= 25000:
+        d_cap = 25000 if jax.default_backend() == "tpu" else 8000
+        if D <= d_cap:
             t1 = time.perf_counter()
             g_dir, st_dir = pg.optimize_se2_direct(g, iters=40)
             direct_chi2 = float(np.asarray(st_dir.chi2)[-1])

@@ -122,3 +122,19 @@ def test_comm_volume_formula():
     assert c["bytes_total"] == pytest.approx(
         10 * c["bytes_per_matvec"] + 2 * c["bytes_per_lm_iter"]
     )
+
+
+@pytest.mark.skipif(not os.path.isdir(DATA), reason="reference datasets missing")
+def test_partitioned_se3_matches_single():
+    from g2o_frontend_tpu.graph.store import graph3d_from_log
+    from g2o_frontend_tpu.parallel.partitioned_pose_graph import (
+        optimize_se3_partitioned)
+
+    log = read_g2o(os.path.join(DATA, "graphSE3.g2o"))
+    g, _ = graph3d_from_log(log)
+    mesh = make_mesh(8)
+    g_ref, stats = pg.optimize_se3(g, iters=4, cg_iters=40)
+    g_pt, trace = optimize_se3_partitioned(g, mesh, iters=4, cg_iters=40)
+    r = float(np.asarray(stats.chi2)[-1])
+    s = float(np.asarray(trace)[-1])
+    assert abs(s - r) / max(r, 1e-9) < 0.05, (r, s)
