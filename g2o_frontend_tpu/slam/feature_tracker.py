@@ -555,6 +555,119 @@ class FeatureTracker2D:
                 merged += 1
         return merged
 
+    def close_loops_global(self, segment=200, gate=4.0, inlier_threshold=0.3):
+        """Whole-trajectory closure sweep: merge drift-separated duplicates.
+
+        The per-call `close_loops` only compares the *current* window's
+        landmarks against the rest (the online closure of
+        ``feature_tracker_closure.h:170``). After the run, duplicated
+        landmarks created under drift can sit several meters apart — too far
+        for `merge_nearby_landmarks`, but still related by a locally rigid
+        SE2. This sweep plays the reference's batch closure role
+        (``tracker_test.cpp`` final optimize + merge): for every `segment`
+        -pose stretch of the trajectory, RANSAC-fit an SE2 from that
+        segment's landmarks to their nearest non-segment neighbours (gated
+        at `gate` meters) and merge the consensus pairs.
+
+        Returns the number of merged landmark pairs.
+        """
+        merged_total = 0
+        n = len(self.poses)
+        nl = len(self.landmarks)
+        if nl < 8:
+            return 0
+        for s0 in range(0, n, segment):
+            window = set(range(s0, min(s0 + segment, n)))
+            seg_set = {
+                l for (p, l, _, _) in self.obs_edges
+                if p in window and self.lm_alive[l]
+            }
+            other = [
+                l for l in range(nl) if self.lm_alive[l] and l not in seg_set
+            ]
+            seg_l = np.array(sorted(seg_set), np.int64)
+            if len(seg_l) < 3 or len(other) < 3:
+                continue
+            L_seg = self.landmarks[seg_l]
+            L_oth = self.landmarks[np.array(other)]
+            d2 = np.sum((L_seg[:, None] - L_oth[None, :]) ** 2, -1)
+            # candidate pairs = ALL (segment, other) pairs within the gate —
+            # a nearest-neighbour-only pairing starves RANSAC of the true
+            # consensus when drift is comparable to landmark spacing
+            si, oi = np.nonzero(d2 < gate * gate)
+            if len(si) < 3:
+                continue
+            RC = _np_cap(len(si))
+            src = np.zeros((RC, 2), np.float32)
+            src[: len(si)] = L_seg[si]
+            tgt = np.zeros((RC, 2), np.float32)
+            tgt[: len(si)] = L_oth[oi]
+            pm = np.zeros(RC, bool)
+            pm[: len(si)] = True
+            self.key, sub = jax.random.split(self.key)
+            res = ransac(
+                sub,
+                jnp.asarray(tgt),
+                jnp.asarray(src),
+                jnp.asarray(pm),
+                fit_fn=rsolvers.fit_se2_points,
+                err_fn=rsolvers.err_se2_points,
+                minimal_size=2,
+                inlier_threshold=inlier_threshold**2,
+                n_hypotheses=256,
+                min_inliers=4,
+            )
+            if not bool(res.ok):
+                continue
+            # re-match ALL segment landmarks through the fitted SE2 (the
+            # reference closure re-binds correspondences after the transform,
+            # not just the RANSAC inliers) — NN under the drift-corrected
+            # positions, accepted at the inlier threshold
+            T = np.asarray(res.transform)
+            warped = _se2_apply_np(T, L_seg)
+            d2w = np.sum((warped[:, None] - L_oth[None, :]) ** 2, -1)
+            jw = np.argmin(d2w, 1)
+            dw = d2w[np.arange(len(seg_l)), jw]
+            for k in range(len(seg_l)):
+                if dw[k] < inlier_threshold * inlier_threshold:
+                    keep = int(other[jw[k]])
+                    drop = int(seg_l[k])
+                    if keep != drop and self.lm_alive[drop] and self.lm_alive[keep]:
+                        self._merge_landmarks(keep, drop)
+                        merged_total += 1
+        return merged_total
+
+    def reassociate(self, gate=1.0):
+        """EM re-association: re-target each observation edge to the nearest
+        alive landmark (within `gate` m) under the current pose estimates,
+        killing landmarks left with no observations.
+
+        The expectation step to `optimize()`'s maximization — iterate the
+        pair until `moved == 0`. Plays the reference's
+        `LandmarkCorrespondenceManager` re-binding role after large loop
+        corrections. Returns the number of re-targeted edges.
+        """
+        poses = np.asarray(self.poses)
+        alive = np.where(self.lm_alive)[0]
+        if len(alive) == 0:
+            return 0
+        L = self.landmarks[alive]
+        moved = 0
+        counts = np.zeros(len(self.landmarks), np.int64)
+        for k, (p, l, z, w) in enumerate(self.obs_edges):
+            wpos = _se2_apply_np(poses[p], np.asarray(z)[None])[0]
+            d2 = np.sum((L - wpos) ** 2, -1)
+            j = int(np.argmin(d2))
+            tgt = int(alive[j])
+            if d2[j] < gate * gate and tgt != l:
+                self.obs_edges[k] = (p, tgt, z, w)
+                moved += 1
+            counts[self.obs_edges[k][1]] += 1
+        for l in alive:
+            if counts[l] == 0:
+                self.lm_alive[l] = False
+        return moved
+
     def merge_nearby_landmarks(self, distance=None):
         """Post-optimization duplicate merge (loopLandmarkMergeDistance)."""
         d = distance or self.cfg.loop_landmark_merge_distance

@@ -1,5 +1,13 @@
-"""Stage breakdown of fused_linearize on TPU: prologue / block-gather / kernel."""
-import os, sys, time
+"""Stage breakdown of fused_linearize on TPU: prologue vs full kernel.
+
+Uses the bench scene (room corner + known motion) so the per-tile row/chunk
+bounds behave as in the benchmark — random inputs would defeat the bounds
+and overstate the kernel cost. Also reports the mean active rows/chunks per
+tile (the work the bounds actually admit).
+"""
+import os
+import sys
+import time
 from functools import partial
 
 import numpy as np
@@ -11,16 +19,30 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_xla_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from bench import _make_depth_pair
 from g2o_frontend_tpu.ops import pallas_aligner as pa
+from g2o_frontend_tpu.pwn.aligner import AlignerConfig
+from g2o_frontend_tpu.pwn.converter import ConverterConfig, depth_to_cloud
 
 H, W = 480, 640
-TR = int(os.environ.get("TR", 16)); TC = 128
+TR = int(os.environ.get("TR", 16))
+TC = 128
 DV, DU = 4, 6
-rng = np.random.default_rng(0)
-cur_p = jnp.asarray(rng.normal(size=(20, H, W)), jnp.float32)
-ref_p = jnp.asarray(rng.normal(size=(5, H + 2 * DV, W + 2 * DU)), jnp.float32)
+
+d_ref, d_cur, proj, T_gt = _make_depth_pair(H, W)
+ccfg = ConverterConfig()
+ref = depth_to_cloud(d_ref, proj, ccfg)
+cur = depth_to_cloud(d_cur, proj, ccfg)
+cur_p, ref_p = pa.prepare_fused_inputs(ref, cur, TR=TR, TC=TC, DV=DV, DU=DU)
 params = pa.params_from_invT(jnp.eye(4, dtype=jnp.float32))
-kw = dict(H=H, W=W, fx=525., fy=525., cx=319.5, cy=239.5, min_d=0.1, max_d=10.0)
+acfg = AlignerConfig()
+kw = dict(H=H, W=W, fx=proj.fx, fy=proj.fy, cx=proj.cx, cy=proj.cy,
+          min_d=proj.min_distance, max_d=proj.max_distance)
+gates = dict(nthr=acfg.inlier_normal_angular_threshold,
+             dthr2=acfg.inlier_distance_threshold**2,
+             cthr=acfg.flat_curvature_threshold,
+             rthr=acfg.inlier_curvature_ratio_threshold,
+             max_chi2=acfg.inlier_max_chi2)
 
 
 def chain(body, n):
@@ -46,17 +68,28 @@ def timeit(name, body, lo=3, hi=83):
 def prologue(carry):
     p2 = params + carry * 1e-30
     ui, vi, inside, vg, ug = pa._project_cur(cur_p, p2, **kw)
-    vs, us = pa._tile_starts(ui, vi, inside, vg, ug, TR=TR, TC=TC, DV=DV, DU=DU, H=H, W=W)
-    return jnp.float32(jnp.sum(vs) + jnp.sum(us) + jnp.sum(ui))
+    starts = pa._tile_starts(ui, vi, inside, vg, ug, TR=TR, TC=TC,
+                             DV=DV, DU=DU, H=H, W=W)
+    return jnp.float32(jnp.sum(starts) + jnp.sum(ui))
 
 
 def full(carry):
     p2 = params + carry * 1e-30
     s = pa.fused_linearize(cur_p, ref_p, p2, TR=TR, TC=TC, DV=DV, DU=DU,
-        nthr=0.866, dthr2=0.25, cthr=0.02, rthr=1.3, max_chi2=9e3, **kw)
+                           **kw, **gates)
     return jnp.sum(s) * 1e-30
 
 
 print("platform:", jax.devices()[0].platform)
-timeit("prologue (proj+means)", prologue)
+ui, vi, inside, vg, ug = pa._project_cur(cur_p, params, **kw)
+st = np.asarray(pa._tile_starts(ui, vi, inside, vg, ug, TR=TR, TC=TC,
+                                DV=DV, DU=DU, H=H, W=W))
+rows = st[:, 3] - st[:, 2] + 1
+chunks = st[:, 5] - st[:, 4] + 1
+occ = rows > 0
+BR, BC = pa._dma_block_shape(TR, TC, DV, DU)
+print(f"tiles: {len(st)} active: {occ.sum()}  "
+      f"mean rows: {rows[occ].mean():.2f}/{BR - TR}  "
+      f"mean chunks: {chunks[occ].mean():.2f}/{BC // TC}")
+timeit("prologue (proj+bounds)", prologue)
 timeit("full fused_linearize", full)

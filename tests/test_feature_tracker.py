@@ -91,6 +91,51 @@ class TestFeatureTracker:
         # edge re-targeted to the kept landmark
         assert tr.obs_edges[0][1] == 0
 
+    def test_reassociate_retargets_and_kills_orphans(self):
+        tr = FeatureTracker2D()
+        tr.poses = [np.zeros(3, np.float32)]
+        # lm 1 is a drift-duplicate of lm 0; lm 2 is far away
+        tr.landmarks = np.array([[1, 0], [1.3, 0.0], [5, 5]], np.float32)
+        tr.lm_alive = np.array([True, True, True])
+        tr.lm_seen = np.array([2, 1, 1], np.int32)
+        I = np.eye(2, dtype=np.float32)
+        # observation at world (1.05, 0) currently bound to lm 1 — nearest
+        # alive landmark is lm 0
+        tr.obs_edges = [
+            (0, 1, np.array([1.05, 0.0], np.float32), I),
+            (0, 2, np.array([5.0, 5.0], np.float32), I),
+        ]
+        moved = tr.reassociate(gate=1.0)
+        assert moved == 1
+        assert tr.obs_edges[0][1] == 0
+        assert tr.obs_edges[1][1] == 2
+        # lm 1 lost its only observation -> killed
+        assert not tr.lm_alive[1]
+        assert tr.lm_alive[0] and tr.lm_alive[2]
+
+    def test_close_loops_global_merges_drifted_duplicates(self):
+        """Two copies of one constellation, offset by a rigid drift larger
+        than any nearest-neighbour merge distance, must be merged by the
+        RANSAC segment sweep."""
+        rng_l = np.random.default_rng(3)
+        base = rng_l.uniform(-3, 3, (12, 2)).astype(np.float32)
+        drift = np.array([1.5, -0.8], np.float32)
+        tr = FeatureTracker2D()
+        # 40 poses: first 20 observe `base`, last 20 observe base+drift
+        tr.poses = [np.zeros(3, np.float32) for _ in range(40)]
+        tr.landmarks = np.concatenate([base, base + drift]).astype(np.float32)
+        tr.lm_alive = np.ones(24, bool)
+        tr.lm_seen = np.ones(24, np.int32)
+        I = np.eye(2, dtype=np.float32)
+        tr.obs_edges = [(p, l, tr.landmarks[l].copy(), I)
+                        for p in range(0, 20) for l in range(12)]
+        tr.obs_edges += [(p, l, tr.landmarks[l].copy(), I)
+                         for p in range(20, 40) for l in range(12, 24)]
+        merged = tr.close_loops_global(segment=20, gate=4.0,
+                                       inlier_threshold=0.3)
+        assert merged >= 10, merged
+        assert tr.lm_alive.sum() <= 14
+
 
 @pytest.mark.skipif(not os.path.isdir(DATA), reason="datasets missing")
 class TestBundledNoassoc:

@@ -1,0 +1,84 @@
+"""Fused Pallas aligner (ops/pallas_aligner) vs the gather reference path.
+
+Runs the production fused kernel in Pallas interpret mode on CPU (the same
+code path the TPU executes, minus Mosaic lowering) on a small synthetic
+scene and checks (a) the Gauss-Newton system against the jnp gather twin
+and (b) end-to-end align() convergence — the analog of the reference's
+CUDA-vs-CPU aligner test (``pwn_cuda`` drop-in contract, cualigner.h:8-11).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from g2o_frontend_tpu.ops import pallas_aligner as pa
+from g2o_frontend_tpu.pwn.aligner import (
+    AlignerConfig,
+    _correspondences_gather,
+    _linearize_planar,
+    align,
+)
+from g2o_frontend_tpu.pwn.converter import ConverterConfig, depth_to_cloud
+from g2o_frontend_tpu.utils import lie
+from g2o_frontend_tpu.utils.synth import default_projector, render_planes_depth
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _scene(H=96, W=128):
+    proj = default_projector(H=H, W=W)
+    ccfg = ConverterConfig(min_image_radius=3, max_image_radius=8, min_points=12)
+    xi = jnp.asarray([0.02, -0.01, 0.03, 0.01, -0.008, 0.006], jnp.float32)
+    T = np.asarray(lie.se3_v2t(xi))
+    ref = depth_to_cloud(render_planes_depth(np.eye(4), proj), proj, ccfg)
+    cur = depth_to_cloud(render_planes_depth(T, proj), proj, ccfg)
+    return proj, ref, cur, T
+
+
+class TestFusedAligner:
+    def test_system_matches_gather_twin(self):
+        proj, ref, cur, _ = _scene()
+        cfg = AlignerConfig()
+        invT = jnp.eye(4, dtype=jnp.float32)
+        cur_p, ref_p = pa.prepare_fused_inputs(
+            ref, cur, TR=cfg.tile_rows, TC=cfg.tile_cols,
+            DV=cfg.band_dv, DU=cfg.band_du,
+        )
+        sums = pa.fused_linearize(
+            cur_p, ref_p, pa.params_from_invT(invT),
+            H=proj.rows, W=proj.cols,
+            TR=cfg.tile_rows, TC=cfg.tile_cols,
+            DV=cfg.band_dv, DU=cfg.band_du,
+            fx=proj.fx, fy=proj.fy, cx=proj.cx, cy=proj.cy,
+            min_d=proj.min_distance, max_d=proj.max_distance,
+            nthr=cfg.inlier_normal_angular_threshold,
+            dthr2=cfg.inlier_distance_threshold**2,
+            cthr=cfg.flat_curvature_threshold,
+            rthr=cfg.inlier_curvature_ratio_threshold,
+            max_chi2=cfg.inlier_max_chi2,
+            robust=cfg.robust_kernel,
+            interpret=INTERPRET,
+        )
+        Hf, bf, chi2f, inlf = pa.unpack_sums(sums)
+
+        mask, rp, rn = _correspondences_gather(ref, cur, invT, proj, cfg)
+        Hg, bg, chi2g, inlg = _linearize_planar(mask, rp, rn, cur, invT, cfg)
+
+        # the banded association recovers nearly all of the exact gather's
+        # correspondences on a smooth scene
+        assert int(inlf) >= 0.97 * int(inlg), (int(inlf), int(inlg))
+        np.testing.assert_allclose(float(chi2f), float(chi2g), rtol=0.1)
+        # directions of the Gauss-Newton system agree
+        nb = float(jnp.linalg.norm(bg)) + 1e-9
+        assert float(jnp.linalg.norm(bf - bg)) / nb < 0.1
+        nH = float(jnp.linalg.norm(Hg)) + 1e-9
+        assert float(jnp.linalg.norm(Hf - Hg)) / nH < 0.05
+
+    def test_align_fused_converges(self):
+        proj, ref, cur, T_gt = _scene()
+        cfg = AlignerConfig(outer_iterations=6, inner_iterations=1,
+                            association="fused")
+        res = align(ref, cur, proj, config=cfg)
+        t_err = float(jnp.linalg.norm(res.T[:3, 3] - T_gt[:3, 3]))
+        assert t_err < 5e-3, t_err
+        assert int(res.inliers) > 1000
