@@ -434,8 +434,8 @@ def optimize_se2_direct(
         linearize_se2(g, huber_delta).chi2
     )
 
-    def step(k, state):
-        poses, lms, lam, trace = state
+    def step(state):
+        k, poses, lms, lam, nu, trace, done = state
         gk = g.with_poses(poses, lms)
         lin = linearize_se2(gk, huber_delta)
         H, b = dense_system(lin)
@@ -443,7 +443,17 @@ def optimize_se2_direct(
         H = H * (free[:, None] * free[None, :])
         Hd = H + jnp.diag(lam * jnp.diag(H) + (1.0 - free) + 1e-6 * free)
         L = jnp.linalg.cholesky(Hd)
-        dx = jax.scipy.linalg.cho_solve((L, True), -b * free)
+        rhs = -b * free
+        # f32 Cholesky of a chain-conditioned (cond ~ N^2) system loses the
+        # step at small lambda (eps*cond ~ 1 at victoriaPark scale); a few
+        # rounds of refinement through the factor recover it — the factor
+        # acts as an exact-shape preconditioner whose rounding error the
+        # residual correction removes (the role CHOLMOD's float64 plays in
+        # the reference backend, ``map_g2o_reflector.h:50-74``).
+        dx = jax.scipy.linalg.cho_solve((L, True), rhs)
+        for _ in range(2):
+            r = rhs - Hd @ dx
+            dx = dx + jax.scipy.linalg.cho_solve((L, True), r)
         dx = dx * free
         dp = dx[: 3 * NP].reshape(NP, 3)
         dl = dx[3 * NP :].reshape(NL, 2)
@@ -455,16 +465,30 @@ def optimize_se2_direct(
         ok = jnp.isfinite(lin_new.chi2) & (lin_new.chi2 < lin.chi2)
         poses = jnp.where(ok, new_poses, poses)
         lms = jnp.where(ok, new_lms, lms)
-        lam = jnp.where(ok, jnp.maximum(lam * 0.3, 1e-12),
-                        jnp.minimum(lam * 10.0, 1e8))
+        # Nielsen-style schedule: gentle shrink on accept, doubling penalty
+        # streak on reject (same as solvers/schur_pcg.py)
+        lam = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-12),
+                        jnp.minimum(lam * nu, 1e10))
+        nu = jnp.where(ok, 2.0, jnp.minimum(nu * 2.0, 64.0))
+        rel_drop = (lin.chi2 - lin_new.chi2) / jnp.maximum(lin.chi2, 1e-30)
+        done = (ok & (rel_drop < 1e-9)) | ((~ok) & (lam >= 1e10))
         trace = trace.at[k + 1].set(jnp.where(ok, lin_new.chi2, lin.chi2))
-        return poses, lms, lam, trace
+        return k + 1, poses, lms, lam, nu, trace, done
 
-    poses, lms, lam, trace = jax.lax.fori_loop(
-        0, iters, step,
-        (g.poses, g.landmarks, jnp.asarray(lm_lambda0, dtype), chi2_trace),
+    def cond(state):
+        k, *_, done = state
+        return jnp.logical_and(k < iters, jnp.logical_not(done))
+
+    k, poses, lms, lam, nu, trace, done = jax.lax.while_loop(
+        cond, step,
+        (jnp.asarray(0, jnp.int32), g.poses, g.landmarks,
+         jnp.asarray(lm_lambda0, dtype), jnp.asarray(2.0, dtype),
+         chi2_trace, jnp.asarray(False)),
     )
-    return g.with_poses(poses, lms), OptStats(trace, lam, jnp.asarray(0))
+    # pad trace tail with the final chi2 so trace[-1] is always the result
+    idx = jnp.arange(iters + 1)
+    trace = jnp.where(idx <= k, trace, trace[k])
+    return g.with_poses(poses, lms), OptStats(trace, lam, k)
 
 
 @partial(jax.jit, static_argnames=("iters", "cg_iters", "huber_delta"))
