@@ -13,15 +13,20 @@ per-edge linearizations, and all CG state. Each device owns:
   remote endpoints (loop closures / block-boundary odometry),
 - the ghost directory: global pose ids of its G ghost slots.
 
-Communication per CG matvec (the halo exchange):
-- `all_gather` of the pose-block search direction (each device reads its
-  ghosts from the gathered field), and
-- one `psum` scatter-reduce of ghost Hessian contributions back to owners.
-Both ride ICI; landmark state (small: L x 2) stays replicated and is psum'd.
+Communication per CG matvec (the halo exchange, parallel/halo.py):
+- point-to-point `ppermute` rounds moving ONLY the boundary pose blocks the
+  ghost directory names (one round per active ring shift; a chain partition
+  has a single shift), and
+- the same schedule in reverse to scatter-reduce ghost Hessian/gradient
+  contributions back to their owners.
+Per-device bytes are O(ghosts) per direction — independent of N and
+shrinking as D grows at fixed N — versus round 2's full-field
+`all_gather`+`psum` whose per-device volume grew with mesh size. Landmark
+state (small: L x 2) stays replicated and is psum'd.
 
 Memory per device is O(E/D + NP/D + NL) versus the replicated solver's
-O(E/D + NP + NL) per-edge/diag/CG footprint — see
-``partition_stats()`` for the exact byte accounting, and EVAL.md §5 for the
+O(E/D + NP + NL) per-edge/diag/CG footprint, with no O(N) transients — see
+``partition_stats()`` for the exact byte accounting, and EVAL.md §7 for the
 measured communication volume.
 """
 from __future__ import annotations
@@ -39,6 +44,8 @@ from ..graph.store import PoseGraph2D
 from ..solvers import pose_graph as pg
 from ..solvers.pcg import pcg
 from ..utils import lie
+from .halo import (HaloSpec, build_halo_spec, halo_bytes_per_exchange,
+                   halo_collectives_per_exchange, halo_gather, halo_reduce)
 from .mesh import EDGE_AXIS
 
 
@@ -52,17 +59,28 @@ class PartitionedSE2(NamedTuple):
     pp_meas: np.ndarray  # (D, E, 3)
     pp_info: np.ndarray  # (D, E, 3, 3)
     pp_mask: np.ndarray  # (D, E) bool
-    pl_ij: np.ndarray  # (D, EL, 2) int32 (local pose slot, GLOBAL landmark)
+    pl_ij: np.ndarray  # (D, EL, 2) int32 (local pose slot, LOCAL lm slot)
     pl_meas: np.ndarray  # (D, EL, 2)
     pl_info: np.ndarray  # (D, EL, 2, 2)
     pl_mask: np.ndarray  # (D, EL) bool
-    landmarks: np.ndarray  # (NL, 2) replicated
-    free_l: np.ndarray  # (NL,) f32
+    lms_blk: np.ndarray  # (D, BL, 2) landmark blocks — sharded, NOT replicated
+    free_l_blk: np.ndarray  # (D, BL) f32
+    lm_ghost_ids: np.ndarray  # (D, GL) int32 global landmark ids (0-padded)
     n_poses: int  # true NP (before block padding)
+    n_landmarks: int  # true NL
+    lm_owner: np.ndarray  # (NL,) int32 owning device per landmark
+    lm_local: np.ndarray  # (NL,) int32 owner-local slot per landmark
+    halo: HaloSpec  # pose-block exchange schedule (parallel/halo.py)
+    halo_l: HaloSpec  # landmark-block exchange schedule
 
 
-def partition_se2(g: PoseGraph2D, n_dev: int) -> PartitionedSE2:
-    """Block-partition a PoseGraph2D over n_dev shards (host-side)."""
+def partition_se2(g: PoseGraph2D, n_dev: int,
+                  halo_mode: str = "auto") -> PartitionedSE2:
+    """Block-partition a PoseGraph2D over n_dev shards (host-side).
+
+    halo_mode picks the exchange wire format (parallel/halo.py): "ppermute"
+    minimizes bytes, "a2a" minimizes collective launches, "auto" trades off.
+    """
     poses = np.asarray(g.poses)
     pose_mask = np.asarray(g.pose_mask)
     fixed = np.asarray(g.fixed)
@@ -105,6 +123,35 @@ def partition_se2(g: PoseGraph2D, n_dev: int) -> PartitionedSE2:
         ghosts.append(sorted(gset))
     G = max(8, max((len(gl) for gl in ghosts), default=0))
 
+    # landmark blocks + ghost directory. Each landmark is OWNED by the pose
+    # block that observes it most (the reference groups landmarks with their
+    # submaps the same way — ``boss_map/map_utils.cpp:167`` partitions carry
+    # their local features); only landmarks co-observed across blocks
+    # (revisits / loop closures) become ghosts — O(boundary), not O(NL).
+    NL = g.landmarks.shape[0]
+    obs_count = np.zeros((NL, n_dev), np.int64)
+    for s in range(n_dev):
+        for k in own_pl[s]:
+            obs_count[pl_ij[k, 1], s] += 1
+    observed = obs_count.sum(axis=1) > 0
+    lm_owner = np.where(
+        observed, obs_count.argmax(axis=1), np.arange(NL) % n_dev
+    ).astype(np.int32)
+    owned_ls = [np.where(lm_owner == s)[0] for s in range(n_dev)]
+    BL = max(1, max(len(o) for o in owned_ls))
+    lm_local = np.zeros(NL, np.int32)
+    for s in range(n_dev):
+        lm_local[owned_ls[s]] = np.arange(len(owned_ls[s]))
+    lm_ghosts = []
+    for s in range(n_dev):
+        lset = {
+            int(pl_ij[k, 1])
+            for k in own_pl[s]
+            if lm_owner[pl_ij[k, 1]] != s
+        }
+        lm_ghosts.append(sorted(lset))
+    GL = max(4, max((len(gl) for gl in lm_ghosts), default=0))
+
     poses_blk = np.zeros((n_dev, B, 3), np.float32)
     free_p_blk = np.zeros((n_dev, B), np.float32)
     ghost_ids = np.zeros((n_dev, G), np.int32)
@@ -122,6 +169,12 @@ def partition_se2(g: PoseGraph2D, n_dev: int) -> PartitionedSE2:
     pl_meas = np.asarray(g.pl_meas)
     pl_info = np.asarray(g.pl_info)
 
+    lms = np.asarray(g.landmarks, np.float32)
+    lmask = np.asarray(g.landmark_mask)
+    lms_blk = np.zeros((n_dev, BL, 2), np.float32)
+    free_l_blk = np.zeros((n_dev, BL), np.float32)
+    lm_ghost_ids = np.zeros((n_dev, GL), np.int32)
+
     for s in range(n_dev):
         lo = s * B
         blk = poses[lo : lo + B]
@@ -130,9 +183,17 @@ def partition_se2(g: PoseGraph2D, n_dev: int) -> PartitionedSE2:
         free_p_blk[s, : len(blk)] = fm.astype(np.float32)
         gmap = {p: B + r for r, p in enumerate(ghosts[s])}
         ghost_ids[s, : len(ghosts[s])] = ghosts[s]
+        mine = owned_ls[s]
+        lms_blk[s, : len(mine)] = lms[mine]
+        free_l_blk[s, : len(mine)] = lmask[mine].astype(np.float32)
+        lgmap = {l: BL + r for r, l in enumerate(lm_ghosts[s])}
+        lm_ghost_ids[s, : len(lm_ghosts[s])] = lm_ghosts[s]
 
         def loc(p):
             return p - lo if lo <= p < lo + B else gmap[int(p)]
+
+        def loc_l(l):
+            return lm_local[l] if lm_owner[l] == s else lgmap[int(l)]
 
         for r, k in enumerate(own_pp[s]):
             pp_ij_l[s, r] = (loc(pp_ij[k, 0]), loc(pp_ij[k, 1]))
@@ -140,7 +201,7 @@ def partition_se2(g: PoseGraph2D, n_dev: int) -> PartitionedSE2:
             pp_info_l[s, r] = pp_info[k]
             pp_mask_l[s, r] = True
         for r, k in enumerate(own_pl[s]):
-            pl_ij_l[s, r] = (loc(pl_ij[k, 0]), pl_ij[k, 1])
+            pl_ij_l[s, r] = (loc(pl_ij[k, 0]), loc_l(pl_ij[k, 1]))
             pl_meas_l[s, r] = pl_meas[k]
             pl_info_l[s, r] = pl_info[k]
             pl_mask_l[s, r] = True
@@ -157,9 +218,16 @@ def partition_se2(g: PoseGraph2D, n_dev: int) -> PartitionedSE2:
         pl_meas=pl_meas_l,
         pl_info=pl_info_l,
         pl_mask=pl_mask_l,
-        landmarks=np.asarray(g.landmarks, np.float32),
-        free_l=np.asarray(g.landmark_mask, np.float32),
+        lms_blk=lms_blk,
+        free_l_blk=free_l_blk,
+        lm_ghost_ids=lm_ghost_ids,
         n_poses=NP,
+        n_landmarks=NL,
+        lm_owner=lm_owner,
+        lm_local=lm_local,
+        halo=build_halo_spec(ghosts, B, n_dev, G, mode=halo_mode),
+        halo_l=build_halo_spec(lm_ghosts, BL, n_dev, GL, mode=halo_mode,
+                               owner=lm_owner, local=lm_local),
     )
 
 
@@ -167,47 +235,72 @@ def partition_stats(p: PartitionedSE2) -> dict:
     """Per-device memory accounting (bytes) vs the full-graph footprint."""
     per_dev = 0
     full = 0
-    for name in ("poses_blk", "free_p_blk", "ghost_ids", "pp_ij", "pp_meas",
-                 "pp_info", "pp_mask", "pl_ij", "pl_meas", "pl_info",
-                 "pl_mask"):
-        a = getattr(p, name)
+    for a in [getattr(p, name) for name in
+              ("poses_blk", "free_p_blk", "ghost_ids", "pp_ij", "pp_meas",
+               "pp_info", "pp_mask", "pl_ij", "pl_meas", "pl_info",
+               "pl_mask", "lms_blk", "free_l_blk", "lm_ghost_ids")] + [
+              p.halo.send_idx, p.halo.recv_pos,
+              p.halo_l.send_idx, p.halo_l.recv_pos]:
         per_dev += a.nbytes // a.shape[0]
         full += a.nbytes
-    rep = p.landmarks.nbytes + p.free_l.nbytes
     D, B = p.poses_blk.shape[0], p.poses_blk.shape[1]
-    # CG state: 4 block vectors (x, r, z, p) + aug gather buffer
-    cg_per_dev = 4 * B * 3 * 4 + D * B * 3 * 4
+    G = p.ghost_ids.shape[1]
+    BL, GL = p.lms_blk.shape[1], p.lm_ghost_ids.shape[1]
+    # CG state: 4 block vectors (x, r, z, p) + the B+G / BL+GL aug vectors
+    # + the packed halo buffers — O(N/D + ghosts), no O(N) transient
+    cg_per_dev = (4 * B + B + G + sum(p.halo.sizes)) * 3 * 4 + (
+        (4 * BL + BL + GL + sum(p.halo_l.sizes)) * 2 * 4
+    )
     return {
         "devices": D,
         "block_poses": B,
+        "block_landmarks": BL,
         "bytes_sharded_per_device": per_dev,
-        "bytes_replicated_per_device": rep,
-        "bytes_full_graph": full + rep,
+        "bytes_replicated_per_device": 0,
+        "bytes_full_graph": full,
         "bytes_cg_state_per_device": cg_per_dev,
     }
 
 
 def comm_volume(p: PartitionedSE2, lm_iters: int, cg_matvecs: int) -> dict:
-    """Predicted communication bytes (per device) for a run.
+    """Per-device communication bytes for a run, from the halo schedules.
 
-    Per CG matvec: one all_gather of the pose field ((D-1)/D * NPp*3*4 bytes
-    received) + one psum of the ghost-contribution field (2*(D-1)/D * NPp*3*4
-    ring bytes) + one psum of the landmark block + 2 scalar psums (dots).
-    Per LM iteration: gradient + diagonal-block reduces and the chi2 scalar.
+    Per CG matvec: forward halo exchanges of the pose + landmark search
+    directions' boundary blocks + reverse exchanges of ghost Hv
+    contributions (each O(ghosts) bytes) + 2 scalar psums (dots). Per LM
+    iteration: gradient + diagonal-block halo reduces, the state halo
+    gathers, and the chi2 scalar. Nothing is O(N); nothing is replicated.
     """
-    D = p.poses_blk.shape[0]
-    NPp = p.poses_blk.shape[0] * p.poses_blk.shape[1]
-    NL = p.landmarks.shape[0]
-    f = (D - 1) / max(D, 1)
-    vec = NPp * 3 * 4
-    lmv = NL * 2 * 4
-    per_matvec = f * vec + 2 * f * vec + 2 * f * lmv
-    per_lm = 2 * f * (vec + NPp * 9 * 4) + 2 * f * lmv
+    halo_vec = halo_bytes_per_exchange(p.halo, 3)  # (S, 3) block vectors
+    halo_diag = halo_bytes_per_exchange(p.halo, 9)  # (S, 3, 3) blocks
+    halo_lvec = halo_bytes_per_exchange(p.halo_l, 2)  # (S, 2)
+    halo_ldiag = halo_bytes_per_exchange(p.halo_l, 4)  # (S, 2, 2)
+    per_matvec = 2 * (halo_vec + halo_lvec)
+    per_lm = 3 * (halo_vec + halo_lvec) + halo_diag + halo_ldiag
     return {
         "bytes_per_matvec": per_matvec,
         "bytes_per_lm_iter": per_lm,
         "bytes_total": per_matvec * cg_matvecs + per_lm * lm_iters,
         "cg_matvecs": cg_matvecs,
+        "halo_shifts": list(p.halo.shifts),
+        "halo_slots": int(sum(p.halo.sizes)),
+        "halo_lm_slots": int(sum(p.halo_l.sizes)),
+        "halo_mode": p.halo.mode,
+        "halo_lm_mode": p.halo_l.mode,
+        # true boundary traffic (without wire padding): worst device's
+        # received ghost slots — the information-theoretic floor
+        "true_ghost_slots_max_dev": int(
+            (p.halo.recv_pos < p.halo.n_ghost)
+            .reshape(p.poses_blk.shape[0], -1).sum(1).max()
+        ),
+        "true_lm_ghost_slots_max_dev": int(
+            (p.halo_l.recv_pos < p.halo_l.n_ghost)
+            .reshape(p.poses_blk.shape[0], -1).sum(1).max()
+        ),
+        "collectives_per_matvec": 2 * (
+            halo_collectives_per_exchange(p.halo)
+            + halo_collectives_per_exchange(p.halo_l)
+        ) + 2,
     }
 
 
@@ -217,6 +310,7 @@ def optimize_se2_partitioned(
     iters: int = 10,
     cg_iters: int = 100,
     lm_lambda0: float = 1e-4,
+    halo_mode: str = "auto",
 ):
     """LM over a pose-block partition; returns (graph, chi2_trace, stats).
 
@@ -224,61 +318,64 @@ def optimize_se2_partitioned(
     diagonal blocks and CG vectors are sharded per device.
     """
     n_dev = mesh.devices.size
-    part = partition_se2(g, n_dev)
+    part = partition_se2(g, n_dev, halo_mode=halo_mode)
     B = part.poses_blk.shape[1]
     G = part.ghost_ids.shape[1]
-    NPp = n_dev * B
+    BL = part.lms_blk.shape[1]
+    GL = part.lm_ghost_ids.shape[1]
+    spec = part.halo
+    spec_l = part.halo_l
     dtype = jnp.float32
 
     shard = P(EDGE_AXIS)
-    rep = P()
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(
-            shard,  # poses_blk
-            shard,  # free_p_blk
-            shard,  # ghost_ids
-            shard, shard, shard, shard,  # pp
-            shard, shard, shard, shard,  # pl
-            rep,  # landmarks
-            rep,  # free_l
-        ),
-        out_specs=(shard, rep, rep, rep),
+        in_specs=(shard,) * 16,
+        out_specs=(shard, shard, P(), P()),
     )
-    def run(poses_blk, free_p_blk, ghost_ids, pp_ij, pp_meas, pp_info,
-            pp_mask, pl_ij, pl_meas, pl_info, pl_mask, lms0, free_l):
+    def run(poses_blk, free_p_blk, h_send, h_recv, hl_send, hl_recv,
+            pp_ij, pp_meas, pp_info, pp_mask,
+            pl_ij, pl_meas, pl_info, pl_mask, lms_blk0, free_l_blk):
         # shard_map passes (1, ...) blocks; drop the shard dim
         poses_blk = poses_blk[0]
         free_p = free_p_blk[0]
-        gids = ghost_ids[0]
+        free_l = free_l_blk[0]
+        sidx, rpos = h_send[0], h_recv[0]
+        lsidx, lrpos = hl_send[0], hl_recv[0]
         pp_ij_l, pp_meas_l = pp_ij[0], pp_meas[0]
         pp_info_l, pp_mask_l = pp_info[0], pp_mask[0]
         pl_ij_l, pl_meas_l = pl_ij[0], pl_meas[0]
         pl_info_l, pl_mask_l = pl_info[0], pl_mask[0]
-        my = jax.lax.axis_index(EDGE_AXIS)
-        own_gids = my * B + jnp.arange(B, dtype=jnp.int32)
-        all_gids = jnp.concatenate([own_gids, gids])
+        lms_blk0 = lms_blk0[0]
 
         def gather_aug(v_blk):
-            """(B, d) -> (B+G, d): own block + ghost values (halo read)."""
-            vg = jax.lax.all_gather(v_blk, EDGE_AXIS, tiled=True)  # (NPp, d)
-            return jnp.concatenate([v_blk, vg[gids]], axis=0)
+            """(B, d) -> (B+G, d): own block + ghost values — point-to-point
+            halo exchange of ONLY the boundary blocks (O(ghosts) bytes)."""
+            gh = halo_gather(v_blk, sidx, rpos, spec, EDGE_AXIS)
+            return jnp.concatenate([v_blk, gh], axis=0)
 
         def ghost_reduce(contrib):
-            """(B+G, ...) -> (B, ...): ghost rows reduced to their owners."""
-            glob = jnp.zeros((NPp,) + contrib.shape[1:], contrib.dtype)
-            glob = glob.at[all_gids].add(contrib)
-            glob = jax.lax.psum(glob, EDGE_AXIS)
-            return jax.lax.dynamic_slice_in_dim(glob, my * B, B, axis=0)
+            """(B+G, ...) -> (B, ...): ghost rows sent back to their owners
+            and scatter-added — no O(N) transient, O(ghosts) bytes."""
+            return halo_reduce(contrib[:B], contrib[B:], sidx, rpos, spec,
+                               EDGE_AXIS)
 
-        def local_graph(aug_poses, lms):
+        def gather_aug_l(v_blk):
+            gh = halo_gather(v_blk, lsidx, lrpos, spec_l, EDGE_AXIS)
+            return jnp.concatenate([v_blk, gh], axis=0)
+
+        def ghost_reduce_l(contrib):
+            return halo_reduce(contrib[:BL], contrib[BL:], lsidx, lrpos,
+                               spec_l, EDGE_AXIS)
+
+        def local_graph(aug_poses, aug_lms):
             return PoseGraph2D(
                 poses=aug_poses,
                 pose_mask=jnp.ones(B + G, bool),
-                landmarks=lms,
-                landmark_mask=free_l > 0,
+                landmarks=aug_lms,
+                landmark_mask=jnp.ones(BL + GL, bool),
                 pp_ij=pp_ij_l,
                 pp_meas=pp_meas_l,
                 pp_info=pp_info_l,
@@ -290,31 +387,31 @@ def optimize_se2_partitioned(
                 fixed=jnp.zeros(B + G, bool),
             )
 
-        def chi2_of(poses_blk, lms):
-            gk = local_graph(gather_aug(poses_blk), lms)
+        def chi2_of(poses_blk, lms_blk):
+            gk = local_graph(gather_aug(poses_blk), gather_aug_l(lms_blk))
             return jax.lax.psum(pg.linearize_se2(gk).chi2, EDGE_AXIS)
 
         def step(k, state):
-            poses_blk, lms, lam, trace, cg_tot = state
+            poses_blk, lms_blk, lam, trace, cg_tot = state
             aug = gather_aug(poses_blk)
-            gk = local_graph(aug, lms)
+            gk = local_graph(aug, gather_aug_l(lms_blk))
             lin = pg.linearize_se2(gk)
             chi2 = jax.lax.psum(lin.chi2, EDGE_AXIS)
-            gp_aug, gl = pg._grad_se2(gk, lin)
+            gp_aug, gl_aug = pg._grad_se2(gk, lin)
             gp = ghost_reduce(gp_aug)
-            gl = jax.lax.psum(gl, EDGE_AXIS)
-            Dp_aug, Dl = pg._diag_blocks_se2(gk, lin)
+            gl = ghost_reduce_l(gl_aug)
+            Dp_aug, Dl_aug = pg._diag_blocks_se2(gk, lin)
             Dp = ghost_reduce(Dp_aug)
-            Dl = jax.lax.psum(Dl, EDGE_AXIS)
+            Dl = ghost_reduce_l(Dl_aug)
             edge_hvp = pg._hvp_edges_se2(gk, lin)
 
             def hvp(v):
                 vp, vl = v
                 vp = vp * free_p[:, None]
                 vl = vl * free_l[:, None]
-                hp_aug, hl = edge_hvp((gather_aug(vp), vl))
+                hp_aug, hl_aug = edge_hvp((gather_aug(vp), gather_aug_l(vl)))
                 hp = ghost_reduce(hp_aug)
-                hl = jax.lax.psum(hl, EDGE_AXIS)
+                hl = ghost_reduce_l(hl_aug)
                 hp = hp + lam * jnp.einsum("kij,kj->ki", Dp, vp)
                 hl = hl + lam * jnp.einsum("kij,kj->ki", Dl, vl)
                 hp = hp * free_p[:, None] + (1.0 - free_p)[:, None] * v[0]
@@ -325,10 +422,9 @@ def optimize_se2_partitioned(
 
             def tree_dot(a, b):
                 (ap, al), (bp, bl) = a, b
-                dp = jnp.vdot(ap, bp)
-                # landmark block is replicated: count it once
-                dl = jnp.where(my == 0, jnp.vdot(al, bl), 0.0)
-                return jax.lax.psum(dp + dl, EDGE_AXIS)
+                return jax.lax.psum(
+                    jnp.vdot(ap, bp) + jnp.vdot(al, bl), EDGE_AXIS
+                )
 
             b = (-gp * free_p[:, None], -gl * free_l[:, None])
             (dp_, dl_), cg_k, _ = pcg(
@@ -338,34 +434,39 @@ def optimize_se2_partitioned(
 
             new_poses = poses_blk + dp_ * free_p[:, None]
             new_poses = new_poses.at[:, 2].set(lie.wrap_angle(new_poses[:, 2]))
-            new_lms = lms + dl_ * free_l[:, None]
+            new_lms = lms_blk + dl_ * free_l[:, None]
             new_chi2 = chi2_of(new_poses, new_lms)
             accept = new_chi2 < chi2
             poses_blk = jnp.where(accept, new_poses, poses_blk)
-            lms = jnp.where(accept, new_lms, lms)
+            lms_blk = jnp.where(accept, new_lms, lms_blk)
             lam = jnp.where(
                 accept, jnp.maximum(lam * 0.5, 1e-10), jnp.minimum(lam * 4.0, 1e8)
             )
             trace = trace.at[k + 1].set(jnp.where(accept, new_chi2, chi2))
-            return poses_blk, lms, lam, trace, cg_tot + cg_k
+            return poses_blk, lms_blk, lam, trace, cg_tot + cg_k
 
-        trace0 = jnp.zeros(iters + 1, dtype).at[0].set(chi2_of(poses_blk, lms0))
-        poses_blk, lms, lam, trace, cg_tot = jax.lax.fori_loop(
+        trace0 = jnp.zeros(iters + 1, dtype).at[0].set(
+            chi2_of(poses_blk, lms_blk0)
+        )
+        poses_blk, lms_blk, lam, trace, cg_tot = jax.lax.fori_loop(
             0, iters, step,
-            (poses_blk, lms0, jnp.asarray(lm_lambda0, dtype), trace0,
+            (poses_blk, lms_blk0, jnp.asarray(lm_lambda0, dtype), trace0,
              jnp.asarray(0, jnp.int32)),
         )
-        return poses_blk[None], lms, trace, cg_tot
+        return poses_blk[None], lms_blk[None], trace, cg_tot
 
-    poses_blk, lms, trace, cg_tot = jax.jit(run)(
+    poses_blk, lms_blk, trace, cg_tot = jax.jit(run)(
         jnp.asarray(part.poses_blk),
         jnp.asarray(part.free_p_blk),
-        jnp.asarray(part.ghost_ids),
+        jnp.asarray(part.halo.send_idx),
+        jnp.asarray(part.halo.recv_pos),
+        jnp.asarray(part.halo_l.send_idx),
+        jnp.asarray(part.halo_l.recv_pos),
         jnp.asarray(part.pp_ij), jnp.asarray(part.pp_meas),
         jnp.asarray(part.pp_info), jnp.asarray(part.pp_mask),
         jnp.asarray(part.pl_ij), jnp.asarray(part.pl_meas),
         jnp.asarray(part.pl_info), jnp.asarray(part.pl_mask),
-        jnp.asarray(part.landmarks), jnp.asarray(part.free_l),
+        jnp.asarray(part.lms_blk), jnp.asarray(part.free_l_blk),
     )
     NP_full = g.poses.shape[0]
     poses_flat = np.asarray(poses_blk).reshape(-1, 3)[:NP_full]
@@ -374,6 +475,10 @@ def optimize_se2_partitioned(
             [poses_flat,
              np.asarray(g.poses)[len(poses_flat):]], axis=0)
         if len(poses_flat) < NP_full else poses_flat
+    )
+    # un-permute landmark blocks (ownership follows observation, not id)
+    lms = jnp.asarray(
+        np.asarray(lms_blk)[part.lm_owner, part.lm_local]
     )
     g_out = g.with_poses(poses_out, lms)
     stats = {
@@ -398,6 +503,7 @@ class PartitionedSE3(NamedTuple):
     pp_info: np.ndarray  # (D, E, 6, 6)
     pp_mask: np.ndarray  # (D, E) bool
     n_poses: int
+    halo: HaloSpec
 
 
 def partition_se3(g, n_dev: int) -> PartitionedSE3:
@@ -458,6 +564,7 @@ def partition_se3(g, n_dev: int) -> PartitionedSE3:
     return PartitionedSE3(
         poses_blk, free_p_blk, ghost_ids,
         pp_ij_l, pp_meas_l, pp_info_l, pp_mask_l, NP,
+        build_halo_spec(ghosts, B, n_dev, G),
     )
 
 
@@ -475,7 +582,7 @@ def optimize_se3_partitioned(
     part = partition_se3(g, n_dev)
     B = part.poses_blk.shape[1]
     G = part.ghost_ids.shape[1]
-    NPp = n_dev * B
+    spec = part.halo
     dtype = jnp.float32
 
     shard = P(EDGE_AXIS)
@@ -484,28 +591,24 @@ def optimize_se3_partitioned(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(shard,) * 7,
+        in_specs=(shard,) * 8,
         out_specs=(shard, rep),
     )
-    def run(poses_blk, free_p_blk, ghost_ids, pp_ij, pp_meas, pp_info, pp_mask):
+    def run(poses_blk, free_p_blk, h_send, h_recv, pp_ij, pp_meas, pp_info,
+            pp_mask):
         poses_blk = poses_blk[0]
         free_p = free_p_blk[0]
-        gids = ghost_ids[0]
+        sidx, rpos = h_send[0], h_recv[0]
         pp_ij_l, pp_meas_l = pp_ij[0], pp_meas[0]
         pp_info_l, pp_mask_l = pp_info[0], pp_mask[0]
-        my = jax.lax.axis_index(EDGE_AXIS)
-        own_gids = my * B + jnp.arange(B, dtype=jnp.int32)
-        all_gids = jnp.concatenate([own_gids, gids])
 
         def gather_aug(v_blk):
-            vg = jax.lax.all_gather(v_blk, EDGE_AXIS, tiled=True)
-            return jnp.concatenate([v_blk, vg[gids]], axis=0)
+            gh = halo_gather(v_blk, sidx, rpos, spec, EDGE_AXIS)
+            return jnp.concatenate([v_blk, gh], axis=0)
 
         def ghost_reduce(contrib):
-            glob = jnp.zeros((NPp,) + contrib.shape[1:], contrib.dtype)
-            glob = glob.at[all_gids].add(contrib)
-            glob = jax.lax.psum(glob, EDGE_AXIS)
-            return jax.lax.dynamic_slice_in_dim(glob, my * B, B, axis=0)
+            return halo_reduce(contrib[:B], contrib[B:], sidx, rpos, spec,
+                               EDGE_AXIS)
 
         def local_graph(aug_poses):
             return PoseGraph3D(
@@ -603,7 +706,8 @@ def optimize_se3_partitioned(
     poses_blk, trace = jax.jit(run)(
         jnp.asarray(part.poses_blk),
         jnp.asarray(part.free_p_blk),
-        jnp.asarray(part.ghost_ids),
+        jnp.asarray(part.halo.send_idx),
+        jnp.asarray(part.halo.recv_pos),
         jnp.asarray(part.pp_ij), jnp.asarray(part.pp_meas),
         jnp.asarray(part.pp_info), jnp.asarray(part.pp_mask),
     )

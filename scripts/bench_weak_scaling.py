@@ -1,0 +1,158 @@
+"""Weak-scaling benchmark for the partitioned-state SE2 solver.
+
+Fixed per-device work: each device owns a constant block of B poses/edges;
+the graph grows with the mesh (NP = B * D). Efficiency_D = t_1 / t_D — with
+perfect scaling the wall time stays flat as devices and problem size grow
+together. Runs on virtual CPU devices (one process); virtual devices DO
+execute concurrently on the host's cores, so weak-scaling efficiency here is
+a meaningful lower bound as long as D <= physical cores.
+
+Also reports the measured halo-exchange volume per device per matvec — the
+VERDICT r2 item-2 criterion is that it SHRINKS (or stays flat) as D grows at
+fixed N; that mode is covered by --strong.
+
+Usage:
+  python scripts/bench_weak_scaling.py [--block 2048] [--devices 1 2 4 8]
+  python scripts/bench_weak_scaling.py --strong   # fixed-N comm table
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+DATA = "/root/reference/datasets/2D"
+
+
+def _chain_graph(n, n_loop, seed=0):
+    """Noisy odometry chain + sparse loop closures (victoriaPark-like pose
+    structure, parameterized size)."""
+    import jax.numpy as jnp
+
+    from g2o_frontend_tpu.graph.store import graph2d_from_log
+    from g2o_frontend_tpu.io.g2o import G2OLog
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) * 0.02
+    gt = np.stack([10 * np.cos(t), 10 * np.sin(t), t + np.pi / 2], -1)
+
+    def rel(a, b):
+        c, s = np.cos(a[2]), np.sin(a[2])
+        d = b[:2] - a[:2]
+        dth = (b[2] - a[2] + np.pi) % (2 * np.pi) - np.pi
+        return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1], dth])
+
+    ij, z = [], []
+    for i in range(n - 1):
+        ij.append([i, i + 1])
+        z.append(rel(gt[i], gt[i + 1]) + rng.normal(0, 0.01, 3))
+    for _ in range(n_loop):
+        i = int(rng.integers(0, n - 1))
+        j = int(rng.integers(0, n - 1))
+        if abs(i - j) < 5:
+            continue
+        ij.append([min(i, j), max(i, j)])
+        z.append(rel(gt[min(i, j)], gt[max(i, j)]))
+    log = G2OLog(
+        se2_ids=np.arange(n),
+        se2_poses=gt + rng.normal(0, 0.05, gt.shape),
+        edge_se2_ij=np.asarray(ij),
+        edge_se2_meas=np.asarray(z),
+        edge_se2_info=np.tile(np.diag([100.0, 100.0, 400.0]), (len(ij), 1, 1)),
+        fixed_ids=np.array([0]),
+    )
+    g, _ = graph2d_from_log(log)
+    return g
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--block", type=int, default=2048,
+                    help="poses per device (weak scaling)")
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--cg-iters", type=int, default=60)
+    ap.add_argument("--strong", action="store_true",
+                    help="fixed-N comm-volume table on victoriaPark instead")
+    ap.add_argument("--halo-mode", default="a2a",
+                    help="wire mode for the timing ladder (a2a keeps the "
+                         "collective count flat as partners grow; the "
+                         "2-core host is launch-overhead-bound, so this is "
+                         "the regime the virtual mesh can measure)")
+    args = ap.parse_args()
+
+    from g2o_frontend_tpu.parallel.mesh import make_mesh
+    from g2o_frontend_tpu.parallel.partitioned_pose_graph import (
+        comm_volume, optimize_se2_partitioned, partition_se2)
+
+    if args.strong:
+        from g2o_frontend_tpu.graph.store import graph2d_from_log
+        from g2o_frontend_tpu.io.g2o import read_g2o
+
+        g, _ = graph2d_from_log(
+            read_g2o(os.path.join(DATA, "victoriaPark-full.g2o.gz")))
+        out = {}
+        for nd in args.devices:
+            if nd < 2:
+                continue
+            part = partition_se2(g, nd)
+            c = comm_volume(part, args.iters, 1)
+            out[nd] = {
+                "bytes_per_matvec_per_device": c["bytes_per_matvec"],
+                "halo_slots": c["halo_slots"],
+                "halo_lm_slots": c["halo_lm_slots"],
+                "halo_modes": [c["halo_mode"], c["halo_lm_mode"]],
+                "true_ghost_slots_max_dev": c["true_ghost_slots_max_dev"],
+                "true_lm_ghost_slots_max_dev":
+                    c["true_lm_ghost_slots_max_dev"],
+                "collectives_per_matvec": c["collectives_per_matvec"],
+            }
+            print(json.dumps({"devices": nd, **out[nd]}))
+        return
+
+    results = {}
+    t1 = None
+    for nd in args.devices:
+        n = args.block * nd
+        g = _chain_graph(n, n_loop=max(8, n // 128), seed=1)
+        mesh = make_mesh(nd)
+        # warm-up/compile
+        _, tr, _ = optimize_se2_partitioned(g, mesh, iters=1,
+                                            cg_iters=args.cg_iters,
+                                            halo_mode=args.halo_mode)
+        np.asarray(tr)
+        t0 = time.perf_counter()
+        _, tr, pstats = optimize_se2_partitioned(
+            g, mesh, iters=args.iters, cg_iters=args.cg_iters,
+            halo_mode=args.halo_mode)
+        np.asarray(tr)
+        dt = time.perf_counter() - t0
+        if t1 is None:
+            t1 = dt
+        eff = t1 / dt
+        results[nd] = {
+            "poses": n,
+            "wall_s": round(dt, 3),
+            "weak_efficiency": round(eff, 3),
+            "chi2_final": float(np.asarray(tr)[-1]),
+            "bytes_per_matvec_per_device":
+                pstats["comm"]["bytes_per_matvec"],
+            "halo_slots": pstats["comm"]["halo_slots"],
+        }
+        print(json.dumps({"devices": nd, **results[nd]}))
+
+
+if __name__ == "__main__":
+    main()
