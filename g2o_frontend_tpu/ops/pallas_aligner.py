@@ -224,14 +224,7 @@ def _kernel(
     gC = pl.num_programs(1)
     n_tiles = pl.num_programs(0) * gC
     t = i * gC + j
-    row0 = i * TR
-    col0 = j * TC
-    f32 = jnp.float32
     BR, BC = _dma_block_shape(TR, TC, DV, DU)
-
-    prm = [params_ref[0, k] for k in range(24)]  # SMEM scalar loads
-    vstart = start_ref[t, 0]
-    ustart = start_ref[t, 1]
 
     # double-buffered DMA of this/next tile's reference window straight from
     # HBM at the prefetched dynamic offsets (replaces an XLA block gather
@@ -252,6 +245,62 @@ def _kernel(
     @pl.when(t + 1 < n_tiles)
     def _():
         blk_dma(t + 1, (t + 1) % 2).start()
+
+    _kernel_body(
+        params_ref, start_ref, cur_ref, out_ref, blkbuf, acc_ref, sems,
+        prm_row=0, t=t, i=i, j=j, first=t == 0,
+        wait=blk_dma(t, t % 2).wait,
+        TR=TR, TC=TC, DV=DV, DU=DU, H=H, W=W,
+        fx=fx, fy=fy, cx=cx, cy=cy, min_d=min_d, max_d=max_d,
+        nthr=nthr, dthr2=dthr2, cthr=cthr, rthr=rthr,
+        max_chi2=max_chi2, robust=robust,
+    )
+
+
+def _kernel_body(
+    params_ref,
+    start_ref,
+    cur_ref,
+    out_ref,
+    blkbuf,
+    acc_ref,
+    sems,
+    *,
+    prm_row,
+    t,
+    i,
+    j,
+    first,
+    wait,
+    TR,
+    TC,
+    DV,
+    DU,
+    H,
+    W,
+    fx,
+    fy,
+    cx,
+    cy,
+    min_d,
+    max_d,
+    nthr,
+    dthr2,
+    cthr,
+    rthr,
+    max_chi2,
+    robust,
+):
+    """Shared tile body of the single-pair and batched kernels: association,
+    gates, robust linearization, 29-sum tile reduce."""
+    row0 = i * TR
+    col0 = j * TC
+    f32 = jnp.float32
+    BR, BC = _dma_block_shape(TR, TC, DV, DU)
+
+    prm = [params_ref[prm_row, k] for k in range(24)]  # SMEM scalar loads
+    vstart = start_ref[t, 0]
+    ustart = start_ref[t, 1]
 
     x = cur_ref[0]  # (C_CUR, TR, TC)
     cpx, cpy, cpz = x[0], x[1], x[2]
@@ -311,7 +360,7 @@ def _kernel(
     chunk_of = bc_cl // TC
     idx_in = bc_cl - chunk_of * TC
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    blk_dma(t, t % 2).wait()
+    wait()
     blk0 = blkbuf[t % 2]  # (C_REF, BR, BC)
     for dy in range(BR - TR):
 
@@ -424,11 +473,12 @@ def _kernel(
     row0_out = jnp.pad(sums, (0, 128 - 29))  # scatter-free (8, 128) build
     out = jnp.concatenate([row0_out[None], jnp.zeros((7, 128), f32)], axis=0)
 
-    @pl.when((i == 0) & (j == 0))
+    @pl.when(first)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    out_ref[...] += out
+    # single kernel's out block is (8, 128); the batched one's is (1, 8, 128)
+    out_ref[...] += out.reshape(out_ref.shape)
 
 
 @partial(
@@ -508,6 +558,135 @@ def fused_linearize(
     return out[0, :29]
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "H", "W", "TR", "TC", "DV", "DU",
+        "fx", "fy", "cx", "cy", "min_d", "max_d",
+        "nthr", "dthr2", "cthr", "rthr", "max_chi2", "robust", "interpret",
+    ),
+)
+def fused_linearize_batch(
+    cur_packed,
+    ref_padded_k,
+    params_k,
+    *,
+    H,
+    W,
+    TR=16,
+    TC=128,
+    DV=4,
+    DU=6,
+    fx, fy, cx, cy, min_d, max_d,
+    nthr, dthr2, cthr, rthr, max_chi2,
+    robust=True,
+    interpret=False,
+):
+    """K fused aligner iterations against ONE shared current cloud.
+
+    The closer's batched candidate matching (``pwn_closer.cpp:92-110`` done
+    as one program): grid (K, gR, gC), the shared current tile streams once
+    per (i, j) while each candidate's reference window is DMA'd at its own
+    prefetched per-tile offsets. `pallas_call` with scalar prefetch + manual
+    DMA has no vmap rule, so the batch dimension is an explicit leading grid
+    axis instead.
+
+    cur_packed: (20, Hp, Wp) — SHARED current cloud.
+    ref_padded_k: (K, 5, Hpad, Wpad) — per-candidate padded references.
+    params_k: (K, 24) f32 — per-candidate [Rinv, tinv, R, t] rows.
+    Returns (K, 29) sums in _linearize_planar order.
+    """
+    if TC != 128:
+        raise ValueError("fused_linearize_batch requires TC == 128")
+    K = ref_padded_k.shape[0]
+    Hp_c, Wp_c = cur_packed.shape[1], cur_packed.shape[2]
+    gR, gC = Hp_c // TR, Wp_c // TC
+
+    # per-candidate tile schedules from the shared projection geometry
+    def starts_of(prm_row):
+        ui, vi, inside, vglob, uglob = _project_cur(
+            cur_packed, prm_row[None], H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
+            min_d=min_d, max_d=max_d,
+        )
+        return _tile_starts(
+            ui, vi, inside, vglob, uglob, TR=TR, TC=TC, DV=DV, DU=DU, H=H, W=W
+        )
+
+    starts_k = jax.vmap(starts_of)(params_k).reshape(K * gR * gC, 6)
+
+    kern = partial(
+        _batch_kernel,
+        TR=TR, TC=TC, DV=DV, DU=DU, H=H, W=W,
+        fx=fx, fy=fy, cx=cx, cy=cy, min_d=min_d, max_d=max_d,
+        nthr=nthr, dthr2=dthr2, cthr=cthr, rthr=rthr,
+        max_chi2=max_chi2, robust=robust,
+    )
+    BR, BC = _dma_block_shape(TR, TC, DV, DU)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # params (K, 24) f32, starts (K*gR*gC, 6) i32
+        grid=(K, gR, gC),
+        in_specs=[
+            pl.BlockSpec((1, C_CUR, TR, TC), lambda b, i, j, *_: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # (K, 5, Hpad, Wpad) HBM
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda b, i, j, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, C_REF, BR, BC), jnp.float32),
+            pltpu.VMEM((C_REF + 1, TR, TC), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, 8, 128), jnp.float32),
+        interpret=interpret,
+    )(params_k, starts_k.astype(jnp.int32), cur_packed[None], ref_padded_k)
+    return out[:, 0, :29]
+
+
+def _batch_kernel(params_ref, start_ref, cur_ref, ref_hbm, out_ref,
+                  blkbuf, acc_ref, sems, **kw):
+    """Batched twin of `_kernel`: program ids (b, i, j); candidate b's params
+    row, tile-schedule rows, reference plane and output row are selected by
+    b, everything else is byte-identical to the per-pair kernel."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    gR = pl.num_programs(1)
+    gC = pl.num_programs(2)
+    tiles_per_b = gR * gC
+    n_tiles = pl.num_programs(0) * tiles_per_b
+    t = (b * gR + i) * gC + j
+
+    def blk_dma(tile, slot):
+        bb = tile // tiles_per_b
+        vs = pl.multiple_of(start_ref[tile, 0], 8)
+        us = pl.multiple_of(start_ref[tile, 1], 128)
+        BR, BC = _dma_block_shape(kw["TR"], kw["TC"], kw["DV"], kw["DU"])
+        return pltpu.make_async_copy(
+            ref_hbm.at[bb, :, pl.ds(vs, BR), pl.ds(us, BC)],
+            blkbuf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        blk_dma(0, 0).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        blk_dma(t + 1, (t + 1) % 2).start()
+
+    _kernel_body(
+        params_ref, start_ref, cur_ref, out_ref, blkbuf, acc_ref, sems,
+        prm_row=b, t=t, i=i, j=j, first=(t - b * tiles_per_b) == 0,
+        wait=blk_dma(t, t % 2).wait, **kw,
+    )
+
+
 def prepare_fused_inputs(reference, current, *, TR=16, TC=128, DV=4, DU=6):
     """Pack + pad both clouds for fused_linearize. Returns (cur_p, ref_p).
 
@@ -534,6 +713,34 @@ def prepare_fused_inputs(reference, current, *, TR=16, TC=128, DV=4, DU=6):
     )
     ref_p = ref_p.at[4].set(jnp.where(border, -1.0, ref_p[4]))
     return cur_p, ref_p
+
+
+def prepare_fused_batch(references, current, *, TR=16, TC=128, DV=4, DU=6):
+    """Batched prepare: ONE shared current packing + per-candidate padded
+    reference planes. `references` is a Cloud pytree with leading dim K
+    (slam/pwn_matcher.stack_clouds); returns (cur_p (20, Hp, Wp),
+    ref_ps (K, 5, Hpad, Wpad))."""
+    cur_p = pack_cur(current)
+    H, W = cur_p.shape[1], cur_p.shape[2]
+    Hp, Wp = _round_up(H, TR), _round_up(W, TC)
+    if (Hp, Wp) != (H, W):
+        cur_p = jnp.pad(cur_p, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    Hpad, Wpad = _padded_ref_shape(H, W, TR, TC, DV, DU)
+    rr = jnp.arange(Hpad)
+    cc_ = jnp.arange(Wpad)
+    border = (
+        (rr[:, None] < DV) | (rr[:, None] >= DV + H)
+        | (cc_[None, :] < DU) | (cc_[None, :] >= DU + W)
+    )
+
+    def one(ref_cloud):
+        ref_p = pack_ref(ref_cloud)
+        ref_p = jnp.pad(
+            ref_p, ((0, 0), (DV, Hpad - H - DV), (DU, Wpad - W - DU))
+        )
+        return ref_p.at[4].set(jnp.where(border, -1.0, ref_p[4]))
+
+    return cur_p, jax.vmap(one)(references)
 
 
 def params_from_invT(invT):

@@ -74,7 +74,14 @@ class AlignerConfig:
     #   "zbuffer" - reference-parity ref re-render (two-pass z-buffer)
     association: str = "auto"
     # fused-kernel band: per-pixel residual displacement window (pixels)
-    # around the per-tile mean displacement; tiles are (tile_rows, tile_cols)
+    # around the per-tile mean displacement; tiles are (tile_rows, tile_cols).
+    # CAVEAT (high-dynamics inputs): correspondences whose displacement
+    # deviates more than (band_dv, band_du) pixels from their tile's mean
+    # flow are silently dropped. For rotation-dominant motion or strong
+    # depth parallax inside one tile, either widen the band (cost grows
+    # linearly with band area) or set association="gather" for the exact
+    # XLA path; tests/test_fused_aligner.py pins recall across a motion
+    # sweep and documents the measured envelope.
     band_dv: int = 4
     band_du: int = 6
     tile_rows: int = 16
@@ -546,6 +553,14 @@ def align(
     else:
         mask, ref_pts, ref_nrm = assoc_fn(invT)
         H, b, chi2, inliers = lin_fn(mask, ref_pts, ref_nrm, invT)
+    return _finalize_stats(T, H, chi2, inliers, cfg)
+
+
+def _finalize_stats(T, H, chi2, inliers, cfg) -> AlignResult:
+    """Post-loop statistics (aligner.cpp:152-199): unscented remap of the
+    local information to the chart at T, eigenratio validity gates. Pure
+    jnp — vmapped by `align_batch`."""
+    dtype = T.dtype
     H = H + jnp.eye(6, dtype=dtype)
     # H is PD after the +I regularization: solve instead of pinv (pinv's SVD
     # serializes a tiny op chain on TPU)
@@ -592,3 +607,88 @@ def align(
         & (inliers >= cfg.min_inliers)
     )
     return AlignResult(T, mean, omega, inliers, chi2, tr_ratio, rr_ratio, valid)
+
+
+@partial(jax.jit, static_argnames=("projector", "config"))
+def align_batch(
+    references: Cloud,
+    current: Cloud,
+    projector: PinholeProjector,
+    initial_guesses,
+    config: AlignerConfig = AlignerConfig(),
+) -> AlignResult:
+    """K alignments of stacked candidate reference clouds against ONE shared
+    current cloud (the closer's batched candidate matching,
+    ``pwn_closer.cpp:92-110`` done as one program — SURVEY §7 Phase 5).
+
+    On the fused path this runs ONE Pallas program with a (K, gR, gC) grid
+    (ops/pallas_aligner.fused_linearize_batch) — the kernel the per-pair
+    `align` uses, batched explicitly since `pallas_call` with scalar
+    prefetch + manual DMA has no vmap rule. Other associations fall back to
+    `vmap(align)`. Returns an AlignResult with leading dim K.
+    """
+    cfg = config
+    association = cfg.association
+    if association == "auto":
+        association = (
+            "fused"
+            if jax.default_backend() == "tpu" and hasattr(projector, "fx")
+            else "gather"
+        )
+    if association != "fused":
+        from dataclasses import replace
+
+        cfg_k = replace(cfg, association=association)
+        return jax.vmap(
+            lambda ref, g: align(ref, current, projector, g, cfg_k)
+        )(references, initial_guesses)
+
+    from ..ops import pallas_aligner as _pa
+
+    dtype = current.points.dtype
+    TR, TC = cfg.tile_rows, cfg.tile_cols
+    DVb, DUb = cfg.band_dv, cfg.band_du
+    cur_p, ref_ps = _pa.prepare_fused_batch(
+        references, current, TR=TR, TC=TC, DV=DVb, DU=DUb
+    )
+    _interp = jax.default_backend() != "tpu"
+
+    def systems_fn(invTs):
+        prm = jax.vmap(lambda t: _pa.params_from_invT(t)[0])(invTs)
+        sums = _pa.fused_linearize_batch(
+            cur_p, ref_ps, prm,
+            H=projector.rows, W=projector.cols,
+            TR=TR, TC=TC, DV=DVb, DU=DUb,
+            fx=projector.fx, fy=projector.fy,
+            cx=projector.cx, cy=projector.cy,
+            min_d=projector.min_distance, max_d=projector.max_distance,
+            nthr=cfg.inlier_normal_angular_threshold,
+            dthr2=cfg.inlier_distance_threshold**2,
+            cthr=cfg.flat_curvature_threshold,
+            rthr=cfg.inlier_curvature_ratio_threshold,
+            max_chi2=cfg.inlier_max_chi2,
+            robust=cfg.robust_kernel,
+            interpret=_interp,
+        )
+        return jax.vmap(_pa.unpack_sums)(sums)
+
+    def gn_step(H, b, invT):
+        Hd = H + cfg.damping * jnp.eye(6, dtype=dtype)
+        dx = jnp.linalg.solve(Hd, -b)
+        return lie.se3_v2t(dx) @ invT
+
+    def outer(i, invTs):
+        def inner(k, invTs):
+            Hs, bs, _, _ = systems_fn(invTs)
+            return jax.vmap(gn_step)(Hs, bs, invTs)
+
+        invTs = jax.lax.fori_loop(0, cfg.inner_iterations, inner, invTs)
+        return jax.vmap(lambda t: lie.se3_v2t(lie.se3_t2v(t)))(invTs)
+
+    invTs0 = jax.vmap(lie.se3_inverse)(initial_guesses)
+    invTs = jax.lax.fori_loop(0, cfg.outer_iterations, outer, invTs0)
+    Ts = jax.vmap(lie.se3_inverse)(invTs)
+    Hs, bs, chi2s, inls = systems_fn(invTs)
+    return jax.vmap(lambda T, H, c, n: _finalize_stats(T, H, c, n, cfg))(
+        Ts, Hs, chi2s, inls
+    )

@@ -34,19 +34,9 @@ class MatcherResult(NamedTuple):
     valid: jnp.ndarray  # aligner validity gates
 
 
-@partial(jax.jit, static_argnames=("projector", "config"))
-def match_clouds(
-    reference: Cloud,
-    current: Cloud,
-    projector: PinholeProjector,
-    initial_guess=None,
-    config: AlignerConfig = AlignerConfig(),
-) -> MatcherResult:
-    """Align + image-overlap statistics, all on-chip."""
-    res = align(reference, current, projector, initial_guess, config)
-
-    # depth images at the matched pose: current in its own frame, reference
-    # re-rendered through invT (as the correspondence finder does)
+def _overlap_stats(res, reference, current, projector) -> MatcherResult:
+    """Image-overlap statistics at the matched pose
+    (``pwn_matcher_base.cpp:130-182``). Pure jnp — vmapped by the batch."""
     invT = jnp.linalg.inv(res.T)
     R, t = invT[:3, :3], invT[:3, 3]
     ref_in_cur = jnp.einsum("ij,hwj->hwi", R, reference.points) + t
@@ -76,6 +66,19 @@ def match_clouds(
 
 
 @partial(jax.jit, static_argnames=("projector", "config"))
+def match_clouds(
+    reference: Cloud,
+    current: Cloud,
+    projector: PinholeProjector,
+    initial_guess=None,
+    config: AlignerConfig = AlignerConfig(),
+) -> MatcherResult:
+    """Align + image-overlap statistics, all on-chip."""
+    res = align(reference, current, projector, initial_guess, config)
+    return _overlap_stats(res, reference, current, projector)
+
+
+@partial(jax.jit, static_argnames=("projector", "config"))
 def match_clouds_batch(
     references: Cloud,
     current: Cloud,
@@ -84,18 +87,22 @@ def match_clouds_batch(
     config: AlignerConfig = AlignerConfig(),
 ) -> MatcherResult:
     """Match K candidate reference clouds against one current cloud in ONE
-    program: `vmap` of `match_clouds` over a stacked-leading-axis `Cloud`
-    pytree and (K, 4, 4) initial guesses.
+    program: `align_batch` over a stacked-leading-axis `Cloud` pytree and
+    (K, 4, 4) initial guesses, then vmapped overlap statistics.
 
     This is the TPU-native inversion of the reference closer's serial
     candidate loop (``pwn_closer.cpp:92-110`` calls ``matchFrames`` per
-    candidate): all K alignments share one compiled kernel and fill the chip
-    instead of K dispatches. Callers pad K to a bucket size to bound
-    recompiles (see `MapCloser._process_partition`).
+    candidate): all K alignments share one compiled program and fill the
+    chip instead of K dispatches — on the fused path the Pallas kernel runs
+    a (K, gR, gC) grid (no gather fallback). Callers pad K to a bucket size
+    to bound recompiles (see `MapCloser._process_partition`).
     """
+    from ..pwn.aligner import align_batch
+
+    res = align_batch(references, current, projector, initial_guesses, config)
     return jax.vmap(
-        lambda ref, guess: match_clouds(ref, current, projector, guess, config)
-    )(references, initial_guesses)
+        lambda r, ref: _overlap_stats(r, ref, current, projector)
+    )(res, references)
 
 
 def stack_clouds(clouds) -> Cloud:

@@ -82,3 +82,71 @@ class TestFusedAligner:
         t_err = float(jnp.linalg.norm(res.T[:3, 3] - T_gt[:3, 3]))
         assert t_err < 5e-3, t_err
         assert int(res.inliers) > 1000
+
+    def test_batched_kernel_matches_per_pair(self):
+        """fused_linearize_batch((K, gR, gC) grid) must reproduce K separate
+        fused_linearize calls bit-for-bit-ish — the closer's batched
+        candidate matching runs through it with NO gather fallback
+        (round-2 VERDICT item 4)."""
+        proj, ref, cur, T_gt = _scene()
+        cfg = AlignerConfig()
+        # K candidates: the same reference under different guesses + a
+        # slightly perturbed reference cloud
+        invTs = jnp.stack([
+            jnp.eye(4, dtype=jnp.float32),
+            jnp.asarray(np.linalg.inv(T_gt), jnp.float32),
+            jnp.asarray(
+                lie.se3_v2t(jnp.asarray([0.01, 0.0, -0.01, 0.0, 0.005, 0.0],
+                                        jnp.float32)), jnp.float32),
+        ])
+        K = invTs.shape[0]
+        import jax.tree_util as jtu
+        refs = jtu.tree_map(lambda x: jnp.stack([x] * K), ref)
+
+        kw = dict(
+            H=proj.rows, W=proj.cols,
+            TR=cfg.tile_rows, TC=cfg.tile_cols,
+            DV=cfg.band_dv, DU=cfg.band_du,
+            fx=proj.fx, fy=proj.fy, cx=proj.cx, cy=proj.cy,
+            min_d=proj.min_distance, max_d=proj.max_distance,
+            nthr=cfg.inlier_normal_angular_threshold,
+            dthr2=cfg.inlier_distance_threshold**2,
+            cthr=cfg.flat_curvature_threshold,
+            rthr=cfg.inlier_curvature_ratio_threshold,
+            max_chi2=cfg.inlier_max_chi2,
+            robust=cfg.robust_kernel,
+            interpret=INTERPRET,
+        )
+        cur_p, ref_ps = pa.prepare_fused_batch(
+            refs, cur, TR=cfg.tile_rows, TC=cfg.tile_cols,
+            DV=cfg.band_dv, DU=cfg.band_du)
+        prms = jnp.concatenate(
+            [pa.params_from_invT(t) for t in invTs], axis=0)
+        sums_b = pa.fused_linearize_batch(cur_p, ref_ps, prms, **kw)
+        for k in range(K):
+            cur_p1, ref_p1 = pa.prepare_fused_inputs(
+                ref, cur, TR=cfg.tile_rows, TC=cfg.tile_cols,
+                DV=cfg.band_dv, DU=cfg.band_du)
+            sums_1 = pa.fused_linearize(
+                cur_p1, ref_p1, pa.params_from_invT(invTs[k]), **kw)
+            np.testing.assert_allclose(
+                np.asarray(sums_b[k]), np.asarray(sums_1),
+                rtol=2e-5, atol=1e-3)
+
+    def test_align_batch_matches_align(self):
+        """align_batch (fused) end-to-end vs per-pair align on K=2."""
+        proj, ref, cur, T_gt = _scene()
+        cfg = AlignerConfig(outer_iterations=4, inner_iterations=1,
+                            association="fused")
+        import jax.tree_util as jtu
+        refs = jtu.tree_map(lambda x: jnp.stack([x, x]), ref)
+        guesses = jnp.stack([jnp.eye(4, dtype=jnp.float32),
+                             jnp.asarray(T_gt, jnp.float32)])
+        from g2o_frontend_tpu.pwn.aligner import align_batch
+        res_b = align_batch(refs, cur, proj, guesses, cfg)
+        for k in range(2):
+            res_1 = align(ref, cur, proj, initial_guess=guesses[k], config=cfg)
+            np.testing.assert_allclose(np.asarray(res_b.T[k]),
+                                       np.asarray(res_1.T),
+                                       rtol=1e-4, atol=1e-5)
+            assert int(res_b.inliers[k]) == int(res_1.inliers)
