@@ -80,6 +80,94 @@ class MapRelation:
         return id(self)
 
 
+class PoseAcceptanceCriterion:
+    """Pluggable node-acceptance criteria (``map_utils.h:10-108``).
+
+    `set_reference_pose` fixes the query pose; `accept_mask` evaluates a
+    stack of (N, 4, 4) node poses in one vectorized pass (the reference
+    calls per-node ``accept``; same semantics, batched)."""
+
+    def set_reference_pose(self, pose: np.ndarray):
+        self.pose = np.asarray(pose, np.float64)
+        self.inv_pose = np.linalg.inv(self.pose)
+
+    def accept_mask(self, T: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+
+class DistancePoseAcceptanceCriterion(PoseAcceptanceCriterion):
+    """Planar translational + angular gate (``map_utils.cpp:69-84``; note
+    the reference's own 'hack': the translational test uses only the x/y
+    components of the relative translation — kept verbatim)."""
+
+    def __init__(self, translational_distance=0.5, rotational_distance=0.5):
+        self.td2 = translational_distance * translational_distance
+        self.rd = rotational_distance
+
+    def accept_mask(self, T):
+        rel = np.einsum("ij,njk->nik", self.inv_pose, T)
+        dt2 = rel[:, 0, 3] ** 2 + rel[:, 1, 3] ** 2
+        tr = np.clip((np.trace(rel[:, :3, :3], axis1=1, axis2=2) - 1) / 2,
+                     -1, 1)
+        return (dt2 < self.td2) & (np.arccos(tr) < self.rd)
+
+
+class GazePointAcceptanceCriterion(PoseAcceptanceCriterion):
+    """Accept nodes near AND facing the reference's gaze point — the point
+    `forward_sliding` meters ahead of the reference pose along its x axis
+    (``map_utils.cpp:34-48``): a node passes when the gaze point lies within
+    `translational_distance` of it and within `rotational_distance` of its
+    own viewing direction (column 0 of its rotation)."""
+
+    def __init__(self, translational_distance=0.5, rotational_distance=0.5,
+                 forward_sliding=1.0):
+        self.td2 = translational_distance * translational_distance
+        self.rd = rotational_distance
+        self.fs = forward_sliding
+
+    def set_reference_pose(self, pose):
+        super().set_reference_pose(pose)
+        slide = np.eye(4)
+        slide[0, 3] = self.fs
+        self.gaze = self.pose @ slide  # _pose2
+
+    def accept_mask(self, T):
+        rel_t = np.einsum(
+            "ij,nj->ni", self.inv_pose[:3, :3], T[:, :3, 3]
+        ) + self.inv_pose[:3, 3]
+        at_ref = np.sum(rel_t**2, -1) == 0  # the reference node itself
+        v1 = T[:, :3, 0]  # node viewing direction
+        v3 = self.gaze[:3, 3][None] - T[:, :3, 3]
+        near = np.sum(v3**2, -1) <= self.td2
+        # angle between v3 and v1 (FromTwoVectors rotation angle)
+        cos_a = np.sum(v1 * v3, -1) / np.maximum(
+            np.linalg.norm(v1, axis=-1) * np.linalg.norm(v3, axis=-1), 1e-12
+        )
+        facing = np.abs(np.arccos(np.clip(cos_a, -1, 1))) <= self.rd
+        return at_ref | (near & facing)
+
+
+class MahalanobisPoseAcceptanceCriterion(PoseAcceptanceCriterion):
+    """6-DOF chart-space Mahalanobis gate (``map_utils.cpp:100-116``)."""
+
+    def __init__(self, information: np.ndarray, distance: float):
+        self.info = np.asarray(information, np.float64)
+        self.distance = distance
+
+    def accept_mask(self, T):
+        rel = np.einsum("ij,njk->nik", self.inv_pose, T)
+        # t2v chart: translation + normalized quaternion imaginary part
+        t = rel[:, :3, 3]
+        R = rel[:, :3, :3]
+        qw = np.sqrt(np.maximum(1.0 + np.trace(R, axis1=1, axis2=2), 1e-12)) / 2
+        qx = (R[:, 2, 1] - R[:, 1, 2]) / (4 * qw)
+        qy = (R[:, 0, 2] - R[:, 2, 0]) / (4 * qw)
+        qz = (R[:, 1, 0] - R[:, 0, 1]) / (4 * qw)
+        v = np.concatenate([t, np.stack([qx, qy, qz], -1)], -1)
+        d = np.einsum("ni,ij,nj->n", v, self.info, v)
+        return d < self.distance
+
+
 class MapManager:
     """Node/relation bookkeeping with observer callbacks."""
 
@@ -140,16 +228,57 @@ class MapManager:
         rotational_distance: float = np.inf,
     ) -> list[MapNode]:
         """DistancePoseAcceptanceCriterion (``map_utils.h:62``) vectorized."""
+        crit = DistancePoseAcceptanceCriterion(
+            translational_distance, rotational_distance
+        )
+        crit.set_reference_pose(reference_pose)
+        return self.select_nodes_by(crit)
+
+    def select_nodes_by(self, criterion: "PoseAcceptanceCriterion"
+                        ) -> list[MapNode]:
+        """``selectNodes`` (``map_utils.cpp:119``): flat scan of every map
+        node through a pluggable criterion — the closer's candidate source
+        (spatial proximity regardless of graph connectivity; closures are
+        exactly the relations that do NOT exist yet)."""
         if not self.nodes:
             return []
         T = np.stack([n.transform for n in self.nodes])
-        ref_inv = np.linalg.inv(reference_pose)
-        rel = np.einsum("ij,njk->nik", ref_inv, T)
-        dt = np.linalg.norm(rel[:, :3, 3], axis=1)
-        tr = np.clip((np.trace(rel[:, :3, :3], axis1=1, axis2=2) - 1) / 2, -1, 1)
-        dr = np.arccos(tr)
-        ok = (dt < translational_distance) & (dr < rotational_distance)
+        ok = criterion.accept_mask(T)
         return [n for n, o in zip(self.nodes, ok) if o]
+
+    def select_nodes_connected(
+        self,
+        start: MapNode,
+        criterion: "PoseAcceptanceCriterion",
+        relation_selector: Optional[Callable[[MapRelation], bool]] = None,
+    ) -> list[MapNode]:
+        """Connectivity-limited selection: breadth-first search over accepted
+        relations from `start`, expanding only nodes the criterion accepts.
+
+        The reference composes this from ``selectNodes`` + the BFS of
+        ``makePartitions`` (``map_utils.cpp:167``) restricted to the start
+        node's component; doing the BFS directly touches O(local map) nodes
+        per keyframe instead of scanning the whole map, and never leaks
+        spatially-near but graph-unconnected nodes into a LOCAL map (those
+        are closure candidates, not established neighbours)."""
+        if start not in self.nodes:
+            return []
+        out = [start]
+        seen = {start.seq}
+        queue = [start]
+        while queue:
+            n = queue.pop(0)
+            for r in self._node_relations.get(n.seq, ()):  # noqa: B020
+                if relation_selector is not None and not relation_selector(r):
+                    continue
+                for other in (r.node_from, r.node_to):
+                    if other.seq in seen:
+                        continue
+                    seen.add(other.seq)
+                    if criterion.accept_mask(other.transform[None])[0]:
+                        out.append(other)
+                        queue.append(other)
+        return out
 
     def make_partitions(
         self,

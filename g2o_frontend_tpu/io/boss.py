@@ -291,11 +291,10 @@ class Serializer:
                 # in the requested wire format (image_sensor.cpp:84-101)
                 os.makedirs(self.blob_dir, exist_ok=True)
                 ext = (v.ext or "npy").lstrip(".")
-                rel = os.path.join(
-                    os.path.basename(self.blob_dir),
-                    f"blob_{self._n_blobs}.{ext}",
-                )
-                full = os.path.join(os.path.dirname(self.path) or ".", rel)
+                # write into blob_dir itself; the '#blob' field stores the
+                # path relative to the log file (works for non-sibling dirs)
+                full = os.path.join(self.blob_dir, f"blob_{self._n_blobs}.{ext}")
+                rel = os.path.relpath(full, os.path.dirname(self.path) or ".")
                 if ext in ("pgm", "ppm", "pbm", "png"):
                     from .image_codec import encode_image
 
@@ -310,10 +309,9 @@ class Serializer:
         if isinstance(v, np.ndarray):
             if v.size > 64:
                 os.makedirs(self.blob_dir, exist_ok=True)
-                rel = os.path.join(
-                    os.path.basename(self.blob_dir), f"blob_{self._n_blobs}.npy"
-                )
-                np.save(os.path.join(os.path.dirname(self.path) or ".", rel), v)
+                full = os.path.join(self.blob_dir, f"blob_{self._n_blobs}.npy")
+                np.save(full, v)
+                rel = os.path.relpath(full, os.path.dirname(self.path) or ".")
                 self._n_blobs += 1
                 return {"#blob": rel}
             return {"values": [float(x) for x in v.reshape(-1)]}
@@ -341,7 +339,11 @@ class Serializer:
             return
         self._written.add(id(obj))
         self._keepalive.append(obj)
-        cname = class_name or getattr(type(obj), "_boss_name", type(obj).__name__)
+        # _boss_name only when set on the exact class: an unregistered
+        # subclass must serialize under its own name, not its parent's
+        cname = class_name or type(obj).__dict__.get(
+            "_boss_name", type(obj).__name__
+        )
         if hasattr(obj, "to_boss"):
             data = obj.to_boss()
         elif is_dataclass(obj):

@@ -103,6 +103,8 @@ class Tracker2DConfig:
     optimize_each_n: int = 10
     local_optimize_iters: int = 3
     global_optimize_iters: int = 15
+    # "pcg" (online default) | "schur" (offline polish; see optimize())
+    global_solver: str = "pcg"
     cg_iters: int = 60
     local_cg_iters: int = 30
     odom_info: tuple = (100.0, 100.0, 1000.0)
@@ -388,13 +390,25 @@ class FeatureTracker2D:
     def optimize(self, local=False):
         if local:
             return self._optimize_window()
-        from ..solvers.pose_graph import optimize_se2
-
         cfg = self.cfg
         g = self.graph()
-        g_opt, stats = optimize_se2(
-            g, iters=cfg.global_optimize_iters, cg_iters=cfg.cg_iters
-        )
+        if cfg.global_solver == "schur":
+            # Schur + chain-preconditioned LM (solvers/schur_pcg.py):
+            # reaches the control optimum where block-Jacobi PCG stalls,
+            # but costs a Woodbury factor per LM iteration — opt-in for
+            # final offline polishing (measured on victoria unknown-DA:
+            # same chi2 basin as PCG, 14x slower in the online loop)
+            from ..solvers.schur_pcg import optimize_se2_schur
+
+            g_opt, stats = optimize_se2_schur(
+                g, iters=cfg.global_optimize_iters, cg_iters=cfg.cg_iters
+            )
+        else:
+            from ..solvers.pose_graph import optimize_se2
+
+            g_opt, stats = optimize_se2(
+                g, iters=cfg.global_optimize_iters, cg_iters=cfg.cg_iters
+            )
         self._sync_from_graph(g_opt)
         return float(np.asarray(stats.chi2)[-1])
 
@@ -619,6 +633,17 @@ class FeatureTracker2D:
             )
             if not bool(res.ok):
                 continue
+            # consensus gate (ADVICE r2): a fit supported by only a handful
+            # of landmarks is a spurious alignment — merging through it
+            # would corrupt the landmark map irreversibly. Require the
+            # RANSAC consensus to cover a meaningful fraction of the
+            # DISTINCT segment landmarks that had any gated candidate (the
+            # pair count itself grows combinatorially with the gate and
+            # would starve true consensus).
+            n_inl = int(np.asarray(res.inliers)[: len(si)].sum())
+            n_src = len(set(si.tolist()))
+            if n_inl < max(5, 0.3 * n_src):
+                continue
             # re-match ALL segment landmarks through the fitted SE2 (the
             # reference closure re-binds correspondences after the transform,
             # not just the RANSAC inliers) — NN under the drift-corrected
@@ -667,6 +692,87 @@ class FeatureTracker2D:
             if counts[l] == 0:
                 self.lm_alive[l] = False
         return moved
+
+    def merge_landmarks_mahalanobis(self, chi2_gate=9.21,
+                                    prefilter_distance=8.0):
+        """Covariance-gated duplicate merge (the principled version of
+        ``loopLandmarkMergeDistance``'s Euclidean gate).
+
+        Two landmark estimates are duplicates of one physical landmark when
+        their separation is small RELATIVE TO THEIR JOINT UNCERTAINTY:
+        ``d2 = diff^T (C_ll + C_mm - C_lm - C_ml)^-1 diff`` tested against a
+        chi-square(2) gate (9.21 = 99%). Under drift, duplicates can sit
+        meters apart yet be statistically identical (large correlated
+        covariance along the drift direction), while genuinely distinct
+        trees half a meter apart have tight covariances and survive — the
+        failure mode of the Euclidean gate in both directions. Joint
+        covariances come from the Schur/Woodbury arrow
+        (solvers/schur_pcg.landmark_covariance_se2, the
+        ``computeMarginals`` role of the reference's g2o backend).
+
+        Merges are applied best-first with a union guard; callers should
+        re-run ``optimize`` + ``reassociate`` afterwards. Returns the number
+        of merged pairs.
+        """
+        from ..solvers.schur_pcg import landmark_covariance_se2
+
+        alive = np.where(self.lm_alive)[0]
+        if len(alive) < 2:
+            return 0
+        g = self.graph()
+        cov = landmark_covariance_se2(g)  # (NL_pad, 2, NL_pad, 2)
+        P = self.landmarks[alive]
+        d2 = np.sum((P[:, None] - P[None, :]) ** 2, -1)
+        iu, ju = np.triu_indices(len(alive), k=1)
+        near = d2[iu, ju] < prefilter_distance * prefilter_distance
+        cand = []
+        for a, b in zip(iu[near], ju[near]):
+            l, m = int(alive[a]), int(alive[b])
+            diff = P[a] - P[b]
+            S = cov[l, :, l, :] + cov[m, :, m, :] - cov[l, :, m, :] - (
+                cov[m, :, l, :]
+            )
+            # guard: S must be PD (masked/degenerate landmarks are excluded
+            # by alive, but keep the solve safe)
+            det = S[0, 0] * S[1, 1] - S[0, 1] * S[1, 0]
+            if det <= 1e-12 or S[0, 0] <= 0:
+                continue
+            Sinv = np.array([[S[1, 1], -S[0, 1]], [-S[1, 0], S[0, 0]]]) / det
+            m2 = float(diff @ Sinv @ diff)
+            if m2 < chi2_gate:
+                cand.append((m2, l, m))
+        merged = 0
+        gone = set()
+        for m2, l, m in sorted(cand):
+            if l in gone or m in gone:
+                continue
+            # keep the better-observed landmark
+            keep, drop = (l, m) if self.lm_seen[l] >= self.lm_seen[m] else (m, l)
+            self._merge_landmarks(keep, drop)
+            gone.add(drop)
+            merged += 1
+        return merged
+
+    def cull_weak_landmarks(self, min_obs=2):
+        """Drop landmarks supported by fewer than `min_obs` observations
+        (and their observation edges). Single-observation landmarks are
+        either spurious detections or fragments an association failure split
+        off an existing landmark — both inflate the landmark count and add
+        unconstrained residuals (the reference prunes the same way through
+        its correspondence manager's track-length threshold,
+        ``feature_tracker.h:340-393``). Returns the number culled."""
+        counts = np.zeros(len(self.landmarks), np.int64)
+        for (_, l, _, _) in self.obs_edges:
+            counts[l] += 1
+        weak = {
+            l for l in np.where(self.lm_alive)[0] if counts[l] < min_obs
+        }
+        if not weak:
+            return 0
+        self.obs_edges = [e for e in self.obs_edges if e[1] not in weak]
+        for l in weak:
+            self.lm_alive[l] = False
+        return len(weak)
 
     def merge_nearby_landmarks(self, distance=None):
         """Post-optimization duplicate merge (loopLandmarkMergeDistance)."""

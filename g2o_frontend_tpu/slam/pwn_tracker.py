@@ -239,10 +239,17 @@ def odometry_scan(
             lambda a, b: jnp.where(new_kf, b, a), ref, cur
         )
         kf_T = jnp.where(new_kf, global_T, kf_T)
-        out = (global_T, res.inliers, fraction, new_kf)
+        # omega trace + eigenratio gates are emitted per frame so the full
+        # statistics pass (``aligner.cpp:152-199``) is live in the scan —
+        # the host tracker consumes them and so must the on-chip one
+        # (also keeps e2e timing honest vs the bare-align benchmark)
+        omega_tr = jnp.trace(res.omega) + res.translational_ratio + (
+            res.rotational_ratio
+        )
+        out = (global_T, res.inliers, fraction, new_kf, omega_tr)
         return (ref, kf_T, global_T), out
 
-    (_, _, _), (traj, inliers, fraction, kf) = jax.lax.scan(
+    (_, _, _), (traj, inliers, fraction, kf, omega_tr) = jax.lax.scan(
         step, (cloud0, eye, eye), depths[1:]
     )
     traj = jnp.concatenate([eye[None], traj], 0)
@@ -251,4 +258,5 @@ def odometry_scan(
         "inliers": pad(inliers, 0),
         "fraction": pad(fraction, 1.0),
         "keyframe": pad(kf, True),
+        "omega_trace": pad(omega_tr, 0.0),
     }

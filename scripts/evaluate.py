@@ -305,6 +305,25 @@ def eval_victoria(fast):
         tr.merge_nearby_landmarks()
         tr.close_loops()
         chi2 = tr.optimize(local=False)
+    # covariance-gated merge passes: duplicates created under drift sit
+    # meters apart but are statistically identical once the joint landmark
+    # covariance (Schur/Woodbury marginals) is taken into account; each
+    # merge tightens the graph and can expose the next (VERDICT r2 item 5)
+    # escalating gate: 99% first (safe merges tighten the graph), then a
+    # relaxed pass — the -odometryIsGood recipe's large odometry information
+    # makes the marginals overconfident, so strict-chi2-only undershoots
+    for gate in (9.21, 9.21, 16.0, 16.0):
+        m = tr.merge_landmarks_mahalanobis(chi2_gate=gate,
+                                           prefilter_distance=12.0)
+        moved = tr.reassociate(gate=1.5)
+        chi2 = tr.optimize(local=False)
+        if m == 0 and moved == 0 and gate >= 16.0:
+            break
+    # cull spurious/fragment landmarks (single-observation tracks), then a
+    # final EM round — fewer phantom landmarks also tightens the trajectory
+    if tr.cull_weak_landmarks(min_obs=2):
+        tr.reassociate(gate=1.5)
+        chi2 = tr.optimize(local=False)
     wall = time.perf_counter() - t0
 
     est = tr.trajectory()[: len(ref_traj)]

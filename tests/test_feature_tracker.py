@@ -113,6 +113,45 @@ class TestFeatureTracker:
         assert not tr.lm_alive[1]
         assert tr.lm_alive[0] and tr.lm_alive[2]
 
+    def test_mahalanobis_merge_respects_uncertainty(self):
+        """The covariance gate must merge drift-separated duplicates (large
+        correlated uncertainty between distant chain segments) while keeping
+        equally-spaced but tightly-co-observed landmarks apart — the double
+        failure mode of the Euclidean loopLandmarkMergeDistance gate."""
+        tr = FeatureTracker2D()
+        n = 21
+        tr.poses = [np.array([0.3 * i, 0.0, 0.0], np.float32)
+                    for i in range(n)]
+        # weak odometry: sigma ~0.2 m/step -> ~0.8 m drift std over 15 steps
+        Wo = np.diag([25.0, 25.0, 100.0]).astype(np.float32)
+        tr.odom_edges = [
+            (i, i + 1, np.array([0.3, 0.0, 0.0], np.float32), Wo)
+            for i in range(n - 1)
+        ]
+        # A (lm 0) seen early, B (lm 1) = same tree re-entered 0.8 m off
+        # after drift; C (lm 2) and D (lm 3) also 0.8 m apart but co-observed
+        # from the same early poses (tight relative covariance)
+        tr.landmarks = np.array(
+            [[2.0, 1.0], [2.8, 1.0], [4.0, -1.0], [4.8, -1.0]], np.float32)
+        tr.lm_alive = np.ones(4, bool)
+        tr.lm_seen = np.array([6, 6, 6, 6], np.int32)
+        Wm = (np.eye(2) * 100.0).astype(np.float32)  # sigma_meas = 0.1
+
+        def local(p_idx, lm):
+            d = tr.landmarks[lm] - np.asarray(tr.poses[p_idx][:2])
+            return d.astype(np.float32)  # theta = 0 everywhere
+
+        tr.obs_edges = (
+            [(p, 0, local(p, 0), Wm) for p in range(0, 6)]
+            + [(p, 1, local(p, 1), Wm) for p in range(15, 21)]
+            + [(p, 2, local(p, 2), Wm) for p in range(0, 6)]
+            + [(p, 3, local(p, 3), Wm) for p in range(0, 6)]
+        )
+        merged = tr.merge_landmarks_mahalanobis()
+        assert merged == 1, merged
+        assert not (tr.lm_alive[0] and tr.lm_alive[1])  # A/B merged
+        assert tr.lm_alive[2] and tr.lm_alive[3]  # C/D kept distinct
+
     def test_close_loops_global_merges_drifted_duplicates(self):
         """Two copies of one constellation, offset by a rigid drift larger
         than any nearest-neighbour merge distance, must be merged by the
