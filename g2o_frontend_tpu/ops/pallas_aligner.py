@@ -539,7 +539,7 @@ def fused_linearize(
         in_specs=[
             pl.BlockSpec((1, C_CUR, TR, TC), lambda i, j, *_: (0, 0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # full ref, DMA'd in-kernel
+            pl.BlockSpec(memory_space=pl.ANY),  # full ref, DMA'd in-kernel
         ],
         out_specs=pl.BlockSpec((8, 128), lambda i, j, *_: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -628,7 +628,7 @@ def fused_linearize_batch(
         in_specs=[
             pl.BlockSpec((1, C_CUR, TR, TC), lambda b, i, j, *_: (0, 0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # (K, 5, Hpad, Wpad) HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # (K, 5, Hpad, Wpad) HBM
         ],
         out_specs=pl.BlockSpec((1, 8, 128), lambda b, i, j, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -685,6 +685,42 @@ def _batch_kernel(params_ref, start_ref, cur_ref, ref_hbm, out_ref,
         prm_row=b, t=t, i=i, j=j, first=(t - b * tiles_per_b) == 0,
         wait=blk_dma(t, t % 2).wait, **kw,
     )
+
+
+def fused_band_coverage(cur_packed, params, *, H, W, TR=16, TC=128, DV=4,
+                        DU=6, fx, fy, cx, cy, min_d, max_d):
+    """Fraction of projectable current pixels whose correspondence target
+    falls INSIDE the banded per-tile window — the fused kernel's blind-spot
+    diagnostic. Pure XLA prologue math (the same formulas `_tile_starts`
+    uses); pixels outside the band lose their correspondence silently, so a
+    low value tells the caller to fall back to association="gather"."""
+    ui, vi, inside, vglob, uglob = _project_cur(
+        cur_packed, params, H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
+        min_d=min_d, max_d=max_d,
+    )
+    Hp_c, Wp_c = ui.shape
+    gR, gC = Hp_c // TR, Wp_c // TC
+    starts = _tile_starts(
+        ui, vi, inside, vglob, uglob, TR=TR, TC=TC, DV=DV, DU=DU, H=H, W=W
+    ).reshape(gR, gC, 6)
+    BR, BC = _dma_block_shape(TR, TC, DV, DU)
+    vstart = starts[:, :, 0]
+    ustart = starts[:, :, 1]
+    row0 = (jnp.arange(gR, dtype=jnp.int32) * TR)[:, None]
+    col0 = (jnp.arange(gC, dtype=jnp.int32) * TC)[None, :]
+
+    def tile4(x):
+        return x.reshape(gR, TR, gC, TC)
+
+    rdv = tile4(vi + DV - vglob) - (vstart - row0)[:, None, :, None]
+    rdu = tile4(ui + DU - uglob) - (ustart - col0)[:, None, :, None]
+    in_band = (
+        tile4(inside)
+        & (rdv >= 0) & (rdv < BR - TR)
+        & (rdu >= 0) & (rdu <= 2 * DU + 127)
+    )
+    n_inside = jnp.maximum(jnp.sum(inside), 1)
+    return jnp.sum(in_band) / n_inside.astype(cur_packed.dtype)
 
 
 def prepare_fused_inputs(reference, current, *, TR=16, TC=128, DV=4, DU=6):

@@ -84,6 +84,10 @@ class AlignerConfig:
     # sweep and documents the measured envelope.
     band_dv: int = 4
     band_du: int = 6
+    # fused-path coverage floor: AlignResult.band_coverage below this tells
+    # the caller the banded association lost correspondences; the host
+    # tracker redoes the align with association="gather"
+    fused_min_band_coverage: float = 0.90
     tile_rows: int = 16
     tile_cols: int = 128
 
@@ -139,6 +143,12 @@ class AlignResult(NamedTuple):
     translational_ratio: jnp.ndarray  # () eigenratio validity stats
     rotational_ratio: jnp.ndarray
     valid: jnp.ndarray  # () bool (eigenratio + min-inlier gates)
+    # fused path only: fraction of projectable pixels whose correspondence
+    # fell inside the banded window at the optimum (1.0 on other paths).
+    # Low coverage flags scenes whose per-tile flow spread exceeds the band
+    # (strong rotation / parallax) — the documented fallback is to redo the
+    # align with association="gather" (see slam/pwn_tracker.py)
+    band_coverage: jnp.ndarray = jnp.asarray(1.0)
 
 
 def _pixel_of_planar(projector, x, y, z):
@@ -550,13 +560,20 @@ def align(
     # ---- statistics at the optimum (aligner.cpp:152-199) ----
     if association == "fused":
         H, b, chi2, inliers = system_fn(invT)
+        coverage = _pa.fused_band_coverage(
+            cur_p, _pa.params_from_invT(invT),
+            H=projector.rows, W=projector.cols, TR=TR, TC=TC, DV=DVb, DU=DUb,
+            fx=projector.fx, fy=projector.fy, cx=projector.cx, cy=projector.cy,
+            min_d=projector.min_distance, max_d=projector.max_distance,
+        )
     else:
         mask, ref_pts, ref_nrm = assoc_fn(invT)
         H, b, chi2, inliers = lin_fn(mask, ref_pts, ref_nrm, invT)
-    return _finalize_stats(T, H, chi2, inliers, cfg)
+        coverage = jnp.asarray(1.0, dtype)
+    return _finalize_stats(T, H, chi2, inliers, cfg, coverage)
 
 
-def _finalize_stats(T, H, chi2, inliers, cfg) -> AlignResult:
+def _finalize_stats(T, H, chi2, inliers, cfg, coverage=None) -> AlignResult:
     """Post-loop statistics (aligner.cpp:152-199): unscented remap of the
     local information to the chart at T, eigenratio validity gates. Pure
     jnp — vmapped by `align_batch`."""
@@ -606,7 +623,10 @@ def _finalize_stats(T, H, chi2, inliers, cfg) -> AlignResult:
         & (rr_ratio <= cfg.rotational_min_eigen_ratio)
         & (inliers >= cfg.min_inliers)
     )
-    return AlignResult(T, mean, omega, inliers, chi2, tr_ratio, rr_ratio, valid)
+    if coverage is None:
+        coverage = jnp.asarray(1.0, dtype)
+    return AlignResult(T, mean, omega, inliers, chi2, tr_ratio, rr_ratio,
+                       valid, coverage)
 
 
 @partial(jax.jit, static_argnames=("projector", "config"))
@@ -689,6 +709,12 @@ def align_batch(
     invTs = jax.lax.fori_loop(0, cfg.outer_iterations, outer, invTs0)
     Ts = jax.vmap(lie.se3_inverse)(invTs)
     Hs, bs, chi2s, inls = systems_fn(invTs)
-    return jax.vmap(lambda T, H, c, n: _finalize_stats(T, H, c, n, cfg))(
-        Ts, Hs, chi2s, inls
-    )
+    covs = jax.vmap(lambda t: _pa.fused_band_coverage(
+        cur_p, _pa.params_from_invT(t),
+        H=projector.rows, W=projector.cols, TR=TR, TC=TC, DV=DVb, DU=DUb,
+        fx=projector.fx, fy=projector.fy, cx=projector.cx, cy=projector.cy,
+        min_d=projector.min_distance, max_d=projector.max_distance,
+    ))(invTs)
+    return jax.vmap(
+        lambda T, H, c, n, cov: _finalize_stats(T, H, c, n, cfg, cov)
+    )(Ts, Hs, chi2s, inls, covs)

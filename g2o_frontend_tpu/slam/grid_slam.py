@@ -48,6 +48,21 @@ class GridSlamConfig:
     gradient_polish_steps: int = 0
 
 
+def _pad_pow2_pts(pts, min_cap=256):
+    """Pad an (N, 2) point set to a power-of-two bucket with a valid mask.
+
+    Every scan has a different return count; without bucketing each
+    correlative match / map build compiles a fresh XLA program (the round-2
+    grid-SLAM run spent most of its 418 s recompiling). Buckets bound the
+    number of distinct shapes to a handful per log."""
+    n = len(pts)
+    cap = max(min_cap, 1 << max(0, (n - 1)).bit_length())
+    out = np.zeros((cap, 2), np.float32)
+    out[:n] = pts
+    mask = np.arange(cap) < n
+    return out, mask
+
+
 @dataclass
 class SubMap:
     anchor_idx: int  # pose index of the submap anchor
@@ -73,8 +88,9 @@ class GridSlam2D:
 
     def _rebuild(self, sm: SubMap):
         pts = np.concatenate(sm.points, 0) if sm.points else np.zeros((0, 2), np.float32)
+        pad, mask = _pad_pow2_pts(pts, min_cap=1024)
         sm.likelihood = build_likelihood_map(
-            jnp.asarray(pts, jnp.float32), jnp.ones(len(pts), bool), sm.spec,
+            jnp.asarray(pad), jnp.asarray(mask), sm.spec,
             sigma_cells=self.cfg.sigma_cells,
         )
 
@@ -151,10 +167,11 @@ class GridSlam2D:
                       cfg.theta_step_deg)
         ).astype(np.float32) + local_pred[2]
         # search around the predicted local pose: shift scan by prediction
+        pad, mask = _pad_pow2_pts(pts)
         res = correlative_match(
             sm.likelihood,
-            jnp.asarray(pts, jnp.float32),
-            jnp.ones(len(pts), bool),
+            jnp.asarray(pad),
+            jnp.asarray(mask),
             sm.spec,
             jnp.asarray(thetas),
             search_radius_cells=int(radius_m / cfg.resolution),

@@ -86,7 +86,12 @@ class MapCloser:
         cfg = self.cfg
         self.committed = []
         self.criterion.set_reference_pose(key_node.transform)
-        selected = self.manager.select_nodes_by(self.criterion)
+        selected = [
+            n for n in self.manager.select_nodes_by(self.criterion)
+            # nodes retired by the map merger stay in the pose array but
+            # must not re-enter closure search (slam/map_merger.py)
+            if n.payload.get("merged_into") is None
+        ]
         if key_node not in selected:
             selected.append(key_node)
         partitions = self.manager.make_partitions(

@@ -135,6 +135,21 @@ class PwnTracker:
             jnp.asarray(guess, jnp.float32),
             self.acfg,
         )
+        # fused-band blind-spot fallback: when the per-tile banded window
+        # lost too many correspondences (strong rotation / parallax inside
+        # one tile), redo the align on the exact gather path — keyframe-rare
+        # in practice, and exact semantics when it matters
+        if (
+            self.acfg.association in ("auto", "fused")
+            and float(res.band_coverage) < self.acfg.fused_min_band_coverage
+        ):
+            from dataclasses import replace as _replace
+
+            res = align(
+                reference, current, self.projector,
+                jnp.asarray(guess, jnp.float32),
+                _replace(self.acfg, association="gather"),
+            )
         inliers = int(res.inliers)
         T = np.asarray(res.T, np.float64)
 

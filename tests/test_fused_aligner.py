@@ -83,6 +83,83 @@ class TestFusedAligner:
         assert t_err < 5e-3, t_err
         assert int(res.inliers) > 1000
 
+    @pytest.mark.parametrize("name,xi", [
+        ("small_mixed", [0.02, -0.01, 0.03, 0.01, -0.008, 0.006]),
+        ("translation_fwd", [0.0, 0.0, 0.12, 0.0, 0.0, 0.0]),
+        ("rotation_yaw_5deg", [0.0, 0.0, 0.0, 0.0, 0.087, 0.0]),
+        ("rotation_roll_5deg", [0.0, 0.0, 0.0, 0.0, 0.0, 0.087]),
+        ("rotation_pitch_4deg_parallax", [0.0, 0.05, 0.0, 0.07, 0.0, 0.0]),
+    ])
+    def test_recall_across_motion_sweep(self, name, xi):
+        """Round-2 VERDICT item 6: the banded association's recall vs the
+        exact gather must stay >= 99% across the motion envelope the tracker
+        actually sees (a keyframe is cut when the inlier fraction drops, so
+        per-frame motion stays small) — and whenever recall DOES drop, the
+        band_coverage diagnostic must flag it so the tracker's documented
+        gather fallback fires."""
+        proj, ref, cur0, _ = _scene()
+        cfg = AlignerConfig()
+        xi = jnp.asarray(xi, jnp.float32)
+        T = np.asarray(lie.se3_v2t(xi))
+        from g2o_frontend_tpu.utils.synth import render_planes_depth
+        from g2o_frontend_tpu.pwn.converter import depth_to_cloud
+        ccfg = ConverterConfig(min_image_radius=3, max_image_radius=8,
+                               min_points=12)
+        cur = depth_to_cloud(render_planes_depth(T, proj), proj, ccfg)
+        invT = jnp.asarray(np.linalg.inv(T), jnp.float32)
+
+        cur_p, ref_p = pa.prepare_fused_inputs(
+            ref, cur, TR=cfg.tile_rows, TC=cfg.tile_cols,
+            DV=cfg.band_dv, DU=cfg.band_du)
+        kw = dict(
+            H=proj.rows, W=proj.cols,
+            TR=cfg.tile_rows, TC=cfg.tile_cols,
+            DV=cfg.band_dv, DU=cfg.band_du,
+            fx=proj.fx, fy=proj.fy, cx=proj.cx, cy=proj.cy,
+            min_d=proj.min_distance, max_d=proj.max_distance)
+        sums = pa.fused_linearize(
+            cur_p, ref_p, pa.params_from_invT(invT),
+            nthr=cfg.inlier_normal_angular_threshold,
+            dthr2=cfg.inlier_distance_threshold**2,
+            cthr=cfg.flat_curvature_threshold,
+            rthr=cfg.inlier_curvature_ratio_threshold,
+            max_chi2=cfg.inlier_max_chi2,
+            robust=cfg.robust_kernel, interpret=INTERPRET, **kw)
+        _, _, _, inl_f = pa.unpack_sums(sums)
+        mask, rp, rn = _correspondences_gather(ref, cur, invT, proj, cfg)
+        _, _, _, inl_g = _linearize_planar(mask, rp, rn, cur, invT, cfg)
+        recall = float(inl_f) / max(float(inl_g), 1.0)
+        coverage = float(pa.fused_band_coverage(
+            cur_p, pa.params_from_invT(invT), **kw))
+        assert recall >= 0.99 or coverage < 0.99, (
+            f"{name}: recall {recall:.4f} with coverage {coverage:.4f} -- "
+            "silent correspondence loss (coverage must flag low recall)")
+
+    def test_coverage_flags_band_blowout(self):
+        """A rotation far past the keyframe gate must drive band_coverage
+        visibly below 1 (the tracker then falls back to the exact gather)."""
+        proj, ref, _, _ = _scene()
+        cfg = AlignerConfig()
+        from g2o_frontend_tpu.utils.synth import render_planes_depth
+        from g2o_frontend_tpu.pwn.converter import depth_to_cloud
+        ccfg = ConverterConfig(min_image_radius=3, max_image_radius=8,
+                               min_points=12)
+        # 20 degrees of roll: in-tile displacement spread >> (DV, DU)
+        xi = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 0.35], jnp.float32)
+        T = np.asarray(lie.se3_v2t(xi))
+        cur = depth_to_cloud(render_planes_depth(T, proj), proj, ccfg)
+        cur_p, _ = pa.prepare_fused_inputs(
+            ref, cur, TR=cfg.tile_rows, TC=cfg.tile_cols,
+            DV=cfg.band_dv, DU=cfg.band_du)
+        cov = float(pa.fused_band_coverage(
+            cur_p, pa.params_from_invT(
+                jnp.asarray(np.linalg.inv(T), jnp.float32)),
+            H=proj.rows, W=proj.cols, TR=cfg.tile_rows, TC=cfg.tile_cols,
+            DV=cfg.band_dv, DU=cfg.band_du,
+            fx=proj.fx, fy=proj.fy, cx=proj.cx, cy=proj.cy,
+            min_d=proj.min_distance, max_d=proj.max_distance))
+        assert cov < 0.98, cov
+
     def test_batched_kernel_matches_per_pair(self):
         """fused_linearize_batch((K, gR, gC) grid) must reproduce K separate
         fused_linearize calls bit-for-bit-ish — the closer's batched
