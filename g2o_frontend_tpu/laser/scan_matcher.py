@@ -161,3 +161,98 @@ def correlative_match(
     ty = sy * spec.resolution + prior[1]
     pose = jnp.array([tx, ty, thetas[k_best]], likelihood_map.dtype)
     return MatchResult(pose, scores_theta[k_best], scores_theta)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "search_radius_cells", "coarse_factor"),
+)
+def correlative_match_multires(
+    likelihood_map,
+    scan_points,
+    scan_valid,
+    spec: GridSpec,
+    thetas,
+    search_radius_cells: int = 32,
+    translation_prior=None,
+    coarse_factor: int = 4,
+):
+    """Coarse-to-fine correlative search (the reference's multi-level
+    ``CorrelativeMatcher`` idea, ``matching/correlative_matcher.h:8-68``).
+
+    Level 1: the FFT sweep of `correlative_match` on a max-pooled grid at
+    `coarse_factor` x the resolution — 1/f^2 of the FFT work, and max-pool
+    guarantees the coarse score upper-bounds the fine score (no lost peak).
+    Level 2: exact fine scores in a (2f+3)-cell window around the coarse
+    argmax, per rotation, computed directly as sum img[c] * map[c + s] over
+    the scan's occupied cells (identical semantics to the FFT correlation,
+    including duplicate-cell collapsing). Returns the same MatchResult.
+    """
+    f = coarse_factor
+    H, W = spec.rows, spec.cols
+    Hc, Wc = H // f, W // f
+    prior = (
+        jnp.zeros(2, likelihood_map.dtype)
+        if translation_prior is None
+        else jnp.asarray(translation_prior, likelihood_map.dtype)
+    )
+    coarse_spec = GridSpec(rows=Hc, cols=Wc, resolution=spec.resolution * f,
+                           origin_x=spec.origin_x, origin_y=spec.origin_y)
+    coarse_map = jax.lax.reduce_window(
+        likelihood_map[: Hc * f, : Wc * f], -jnp.inf, jax.lax.max,
+        (f, f), (f, f), "VALID",
+    )
+    coarse = correlative_match(
+        coarse_map, scan_points, scan_valid, coarse_spec, thetas,
+        search_radius_cells=max(1, -(-search_radius_cells // f)),
+        translation_prior=prior,
+    )
+
+    # ---- fine refinement around the coarse translation, all rotations ----
+    # half-width 2f+1: the max-pool peak localizes to one coarse cell, but
+    # the true fine peak can sit in a neighbouring coarse cell when the
+    # pooled maxima tie — cover a full coarse cell on each side
+    w = 2 * f + 1
+    base = coarse.pose[:2]
+
+    # occupied-cell weights: img[c] = min(hits[c], 1) shared among the
+    # points that hit c -> per-point weight 1/hits[c]
+    def fine_theta(th):
+        c, s = jnp.cos(th), jnp.sin(th)
+        R = jnp.array([[c, -s], [s, c]])
+        pts = scan_points @ R.T + base
+        u, v = spec.world_to_grid(pts)
+        ui = jnp.round(u).astype(jnp.int32)
+        vi = jnp.round(v).astype(jnp.int32)
+        ins = scan_valid & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+        flat = jnp.where(ins, vi * W + ui, H * W)
+        hits = jnp.zeros(H * W + 1, likelihood_map.dtype).at[flat].add(
+            jnp.where(ins, 1.0, 0.0)
+        )
+        wgt = jnp.where(ins, 1.0 / jnp.maximum(hits[flat], 1.0), 0.0)
+
+        def score_shift(dv, du):
+            uu = jnp.clip(ui + du, 0, W - 1)
+            vv = jnp.clip(vi + dv, 0, H - 1)
+            ok = ins & (ui + du >= 0) & (ui + du < W) & (vi + dv >= 0) & (
+                vi + dv < H
+            )
+            return jnp.sum(
+                jnp.where(ok, wgt * likelihood_map[vv, uu], 0.0)
+            )
+
+        dvs = jnp.arange(-w, w + 1)
+        return jax.vmap(
+            lambda dv: jax.vmap(lambda du: score_shift(dv, du))(dvs)
+        )(dvs)
+
+    scores = jax.vmap(fine_theta)(thetas)  # (K, 2w+1, 2w+1)
+    scores_theta = jnp.max(scores, axis=(1, 2))
+    k_best = jnp.argmax(scores_theta)
+    flat = jnp.argmax(scores[k_best])
+    n = 2 * w + 1
+    iy, ix = flat // n, flat % n
+    tx = base[0] + (ix - w) * spec.resolution
+    ty = base[1] + (iy - w) * spec.resolution
+    pose = jnp.array([tx, ty, thetas[k_best]], likelihood_map.dtype)
+    return MatchResult(pose, scores_theta[k_best], scores_theta)

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..laser.matcher_refine import gradient_refine
-from ..laser.scan_matcher import GridSpec, build_likelihood_map, correlative_match
+from ..laser.scan_matcher import (GridSpec, build_likelihood_map,
+                                  correlative_match_multires)
 from ..utils import lie
 
 
@@ -168,7 +169,7 @@ class GridSlam2D:
         ).astype(np.float32) + local_pred[2]
         # search around the predicted local pose: shift scan by prediction
         pad, mask = _pad_pow2_pts(pts)
-        res = correlative_match(
+        res = correlative_match_multires(
             sm.likelihood,
             jnp.asarray(pad),
             jnp.asarray(mask),
