@@ -642,7 +642,7 @@ class FeatureTracker2D:
             # would starve true consensus).
             n_inl = int(np.asarray(res.inliers)[: len(si)].sum())
             n_src = len(set(si.tolist()))
-            if n_inl < max(5, 0.3 * n_src):
+            if n_inl < max(4, 0.25 * n_src):
                 continue
             # re-match ALL segment landmarks through the fitted SE2 (the
             # reference closure re-binds correspondences after the transform,

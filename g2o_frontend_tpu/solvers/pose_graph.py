@@ -434,6 +434,11 @@ def optimize_se2_direct(
         linearize_se2(g, huber_delta).chi2
     )
 
+    # pin dots to full f32: the TPU MXU's bf16 default poisons the dense
+    # assembly/refinement on chain-conditioned systems (see schur_pcg.py)
+    prec_ctx = jax.default_matmul_precision("highest")
+    prec_ctx.__enter__()
+
     def step(state):
         k, poses, lms, lam, nu, trace, done = state
         gk = g.with_poses(poses, lms)
@@ -479,12 +484,15 @@ def optimize_se2_direct(
         k, *_, done = state
         return jnp.logical_and(k < iters, jnp.logical_not(done))
 
-    k, poses, lms, lam, nu, trace, done = jax.lax.while_loop(
-        cond, step,
-        (jnp.asarray(0, jnp.int32), g.poses, g.landmarks,
-         jnp.asarray(lm_lambda0, dtype), jnp.asarray(2.0, dtype),
-         chi2_trace, jnp.asarray(False)),
-    )
+    try:
+        k, poses, lms, lam, nu, trace, done = jax.lax.while_loop(
+            cond, step,
+            (jnp.asarray(0, jnp.int32), g.poses, g.landmarks,
+             jnp.asarray(lm_lambda0, dtype), jnp.asarray(2.0, dtype),
+             chi2_trace, jnp.asarray(False)),
+        )
+    finally:
+        prec_ctx.__exit__(None, None, None)
     # pad trace tail with the final chi2 so trace[-1] is always the result
     idx = jnp.arange(iters + 1)
     trace = jnp.where(idx <= k, trace, trace[k])

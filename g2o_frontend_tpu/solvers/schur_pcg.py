@@ -254,7 +254,8 @@ def landmark_covariance_se2(g: PoseGraph2D, lam: float = 1e-6,
         K = A.reshape(2 * NL, 2 * NL) - jnp.einsum("pdm,pdn->mn", Vd, X)
         return jnp.linalg.inv(K).reshape(NL, 2, NL, 2)
 
-    return np.asarray(compute())
+    with jax.default_matmul_precision("highest"):
+        return np.asarray(compute())
 
 
 @partial(jax.jit, static_argnames=("iters", "cg_iters", "huber_delta", "woodbury"))
@@ -288,6 +289,27 @@ def optimize_se2_schur(
     chain = (g.pp_ij[:, 1] == g.pp_ij[:, 0] + 1) & g.pp_mask
     chain_i = jnp.where(chain, g.pp_ij[:, 0], NP - 1)  # masked -> harmless slot
 
+    # TPU matmul default precision is bf16: the repeated 3x3 eliminations of
+    # the cyclic reduction and the Woodbury products amplify bf16 rounding
+    # catastrophically on the chain-conditioned system (measured: chi2
+    # stalls at 394k vs 21.9k with f32 accumulation). Pin every dot in this
+    # program to full f32.
+    prec_ctx = jax.default_matmul_precision("highest")
+    prec_ctx.__enter__()
+    try:
+        return _optimize_se2_schur_body(
+            g, iters, cg_iters, lm_lambda0, huber_delta, tol, cg_rtol,
+            use_woodbury, NP, NL, dtype, free_p, free_l, has_pl, pose_k,
+            lm_k, chain, chain_i,
+        )
+    finally:
+        prec_ctx.__exit__(None, None, None)
+
+
+def _optimize_se2_schur_body(g, iters, cg_iters, lm_lambda0, huber_delta,
+                             tol, cg_rtol, use_woodbury, NP, NL, dtype,
+                             free_p, free_l, has_pl, pose_k, lm_k, chain,
+                             chain_i):
     lin0 = pg.linearize_se2(g, huber_delta)
     trace0 = jnp.zeros(iters + 1, dtype).at[0].set(lin0.chi2)
 

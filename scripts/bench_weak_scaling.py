@@ -110,6 +110,7 @@ def main():
             part = partition_se2(g, nd)
             c = comm_volume(part, args.iters, 1)
             out[nd] = {
+                "devices": nd,
                 "bytes_per_matvec_per_device": c["bytes_per_matvec"],
                 "halo_slots": c["halo_slots"],
                 "halo_lm_slots": c["halo_lm_slots"],
@@ -119,7 +120,8 @@ def main():
                     c["true_lm_ghost_slots_max_dev"],
                 "collectives_per_matvec": c["collectives_per_matvec"],
             }
-            print(json.dumps({"devices": nd, **out[nd]}))
+            print(json.dumps(out[nd]))
+        _save_sidecar(strong=list(out.values()))
         return
 
     results = {}
@@ -143,6 +145,7 @@ def main():
             t1 = dt
         eff = t1 / dt
         results[nd] = {
+            "devices": nd,
             "poses": n,
             "wall_s": round(dt, 3),
             "weak_efficiency": round(eff, 3),
@@ -151,7 +154,22 @@ def main():
                 pstats["comm"]["bytes_per_matvec"],
             "halo_slots": pstats["comm"]["halo_slots"],
         }
-        print(json.dumps({"devices": nd, **results[nd]}))
+        print(json.dumps(results[nd]))
+    _save_sidecar(weak=list(results.values()))
+
+
+def _save_sidecar(**kw):
+    """Merge results into eval_out/halo.json (EVAL.md's §7 data source)."""
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "eval_out")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "halo.json")
+    data = {}
+    if os.path.isfile(path):
+        data = json.load(open(path))
+    data.update(kw)
+    with open(path, "w") as fh:
+        json.dump(data, fh, indent=1)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,54 @@ def _scene(H=96, W=128):
 
 
 class TestFusedAligner:
+    def test_bf16_pair_pack_roundtrip(self):
+        """pack_ref2 / _unpack_hi / _unpack_lo: bf16 round-trip accuracy and
+        exact sentinel preservation."""
+        rng = np.random.default_rng(0)
+        ref5 = jnp.asarray(rng.normal(size=(5, 8, 128)).astype(np.float32))
+        ref5 = ref5.at[4, 0, :].set(-1.0)  # curv sentinel row
+        pk = pa.pack_ref2(ref5)
+        assert pk.dtype == jnp.int32 and pk.shape == (3, 8, 128)
+        d = pa._unpack_hi(pk[0]);  cv = pa._unpack_lo(pk[0])
+        nx = pa._unpack_hi(pk[1]); ny = pa._unpack_lo(pk[1])
+        nz = pa._unpack_hi(pk[2])
+        # bf16 has 8 mantissa bits -> rel error < 2^-8
+        for got, ref in [(d, ref5[0]), (nx, ref5[1]), (ny, ref5[2]),
+                         (nz, ref5[3]), (cv, ref5[4])]:
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2 ** -8, atol=1e-6)
+        assert np.all(np.asarray(cv)[0] == -1.0)  # sentinel exact
+
+    def test_packed_matches_f32_path(self):
+        """The packed (bf16-pair, 3-gather) sweep must agree with the f32
+        5-gather path within bf16 payload noise."""
+        proj, ref, cur, _ = _scene()
+        cfg = AlignerConfig()
+        invT = jnp.eye(4, dtype=jnp.float32)
+        kw = dict(
+            H=proj.rows, W=proj.cols, TR=cfg.tile_rows, TC=cfg.tile_cols,
+            DV=cfg.band_dv, DU=cfg.band_du,
+            fx=proj.fx, fy=proj.fy, cx=proj.cx, cy=proj.cy,
+            min_d=proj.min_distance, max_d=proj.max_distance,
+            nthr=cfg.inlier_normal_angular_threshold,
+            dthr2=cfg.inlier_distance_threshold**2,
+            cthr=cfg.flat_curvature_threshold,
+            rthr=cfg.inlier_curvature_ratio_threshold,
+            max_chi2=cfg.inlier_max_chi2,
+            robust=cfg.robust_kernel, interpret=INTERPRET)
+        outs = {}
+        for packed in (True, False):
+            cur_p, ref_p = pa.prepare_fused_inputs(
+                ref, cur, TR=cfg.tile_rows, TC=cfg.tile_cols,
+                DV=cfg.band_dv, DU=cfg.band_du, packed=packed)
+            outs[packed] = np.asarray(pa.fused_linearize(
+                cur_p, ref_p, pa.params_from_invT(invT), **kw))
+        # inlier counts near-identical; sums within bf16 noise
+        assert abs(outs[True][28] - outs[False][28]) <= (
+            0.002 * outs[False][28] + 2)
+        np.testing.assert_allclose(outs[True][:28], outs[False][:28],
+                                   rtol=0.02, atol=0.5)
+
     def test_system_matches_gather_twin(self):
         proj, ref, cur, _ = _scene()
         cfg = AlignerConfig()
