@@ -727,6 +727,14 @@ def main():
                   "of the exact gather, validity gates intact",
                   f"- end-to-end tracker {t['tracker_fps_e2e']} fps, "
                   f"depth->cloud {t['convert_fps']} fps",
+                  ] + ([
+                  f"- batched closer matching (fused (K, gR, gC) grid, "
+                  f"closer scale): "
+                  f"{t['batched_closer']['scale4_ms_per_candidate_K16']} "
+                  f"ms/candidate at K=16 vs "
+                  f"{t['batched_closer']['scale4_ms_single_align']} ms "
+                  "serial — sublinear in K, transforms match the single-"
+                  "pair kernel"] if "batched_closer" in t else []) + [
                   "", "### Roofline", "",
                   f"- bytes/iteration ~{rf['bytes_per_iteration']/1e6:.1f} MB -> "
                   f"HBM floor {rf['hbm_floor_us']} us at {rf['hbm_bw_gbps']} GB/s; "
@@ -734,7 +742,8 @@ def main():
                   f"{rf['hbm_roofline_fraction']*100:.0f}% of HBM roofline",
                   f"- bound: {rf['bound']}",
                   f"- {rf['notes']}",
-                  "- produced by: bench.py (BENCH_r02) + scripts/profile_fused_stages.py"]
+                  f"- source: {t.get('source', 'bench.py')} + "
+                  "scripts/profile_fused_stages.py"]
     sc_path = os.path.join(OUT, "scaling.json")
     if os.path.isfile(sc_path):
         s = json.load(open(sc_path))
