@@ -259,7 +259,8 @@ def bench_pose_graph(device=None):
     chi2 = float(np.asarray(st.chi2)[-1])
     lm_done = int(np.asarray(st.lm_iters))
 
-    # legacy block-Jacobi PCG (the round-1/2 scalable path, for the record)
+    # matrix-free PCG (the r1/r2 scalable path, for the record) — now with
+    # the chain preconditioner option; both variants reported
     ITERS, CG = 30, 300
     g_pcg, st_pcg = optimize_se2(g, iters=ITERS, cg_iters=CG)
     np.asarray(g_pcg.poses)
@@ -268,6 +269,8 @@ def bench_pose_graph(device=None):
     np.asarray(g_pcg.poses)
     dt = time.perf_counter() - t0
     chi2_pcg = float(np.asarray(st_pcg.chi2)[-1])
+    g_pc, st_pc = optimize_se2(g, iters=ITERS, cg_iters=CG, precond="chain")
+    chi2_pcg_chain = float(np.asarray(st_pc.chi2)[-1])
 
     # exact-Newton mode (dense Cholesky on the MXU + refinement through the
     # factor); victoriaPark has 21,209 DOF. On the CPU fallback backend the
@@ -283,6 +286,7 @@ def bench_pose_graph(device=None):
         "lm_iters_per_s": max(lm_done, 1) / dt_schur,
         "chi2_final": chi2,
         "chi2_pcg_blockjacobi": chi2_pcg,
+        "chi2_pcg_chain": chi2_pcg_chain,
         "pcg_lm_iters_per_s": ITERS / dt,
         "direct_chi2_final": chi2_dir,
         "direct_iters_per_s": dir_done / dt_dir,
@@ -344,6 +348,7 @@ def main():
         "pose_graph_lm_iters_per_s": round(pgo["lm_iters_per_s"], 3),
         "pose_graph_chi2_final": round(pgo["chi2_final"], 1),
         "pose_graph_chi2_pcg_blockjacobi": round(pgo["chi2_pcg_blockjacobi"], 1),
+        "pose_graph_chi2_pcg_chain": round(pgo["chi2_pcg_chain"], 1),
         "pose_graph_pcg_lm_iters_per_s": round(pgo["pcg_lm_iters_per_s"], 3),
         "pose_graph_direct_chi2": round(pgo["direct_chi2_final"], 1),
         "pose_graph_direct_iters_per_s": round(pgo["direct_iters_per_s"], 3),

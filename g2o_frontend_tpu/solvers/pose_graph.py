@@ -304,20 +304,67 @@ class OptStats(NamedTuple):
     cg_iters: jnp.ndarray  # total CG iterations
 
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters", "huber_delta"))
+@partial(jax.jit,
+         static_argnames=("iters", "cg_iters", "huber_delta", "precond"))
 def optimize_se2(
     g: PoseGraph2D,
     iters: int = 10,
     cg_iters: int = 100,
     lm_lambda0: float = 1e-4,
     huber_delta: float | None = None,
+    precond: str = "jacobi",
 ) -> tuple[PoseGraph2D, OptStats]:
-    """LM-optimize an SE2 pose graph (poses + landmarks) in one XLA program."""
+    """LM-optimize an SE2 pose graph (poses + landmarks) in one XLA program.
+
+    precond: "jacobi" (point-block diagonal, the default) or "chain"
+    (block-tridiagonal odometry-chain factor via cyclic reduction on the
+    pose block + block-Jacobi on landmarks — captures the chain's long-range
+    stiffness that stalls plain block-Jacobi on victoriaPark-class graphs;
+    solvers/tridiag.py, same preconditioner family as schur_pcg.py).
+    """
     free_p = (g.pose_mask & ~g.fixed).astype(g.poses.dtype)
     free_l = g.landmark_mask.astype(g.poses.dtype)
+    NP = g.poses.shape[0]
+    dtype = g.poses.dtype
+    if precond == "chain":
+        from .tridiag import cr_factor, cr_solve
+
+        chain = (g.pp_ij[:, 1] == g.pp_ij[:, 0] + 1) & g.pp_mask
+        chain_i = jnp.where(chain, g.pp_ij[:, 0], NP - 1)
+        prec_ctx = jax.default_matmul_precision("highest")
+        prec_ctx.__enter__()
+    else:
+        prec_ctx = None
 
     lin0 = linearize_se2(g, huber_delta)
     chi2_trace = jnp.zeros(iters + 1, dtype=g.poses.dtype).at[0].set(lin0.chi2)
+
+    def _chain_precond(lin, Dp, Dl, lam):
+        U_chain = jax.ops.segment_sum(
+            jnp.einsum("kdi,kde,kej->kij", lin.Ji_pp,
+                       lin.w_pp * chain[:, None, None], lin.Jj_pp),
+            chain_i, NP,
+        )
+        fnext = jnp.concatenate([free_p[1:], jnp.zeros(1, dtype)])
+        U_pre = U_chain * (free_p * fnext)[:, None, None]
+        L_pre = jnp.concatenate(
+            [jnp.zeros((1, 3, 3), dtype), jnp.swapaxes(U_pre, 1, 2)[:-1]]
+        )
+        eye3 = jnp.eye(3, dtype=dtype)
+        Dp_d = (1.0 + lam) * Dp + 1e-6 * eye3
+        Dp_d = jnp.where(free_p[:, None, None] > 0, Dp_d, eye3)
+        fac = cr_factor(L_pre, Dp_d, U_pre)
+        eye2 = jnp.eye(2, dtype=dtype)
+        Dl_d = (1.0 + lam) * Dl + 1e-6 * eye2
+        Dl_d = jnp.where(free_l[:, None, None] > 0, Dl_d, eye2)
+        Dl_inv = jnp.linalg.inv(Dl_d)
+
+        def apply(r):
+            rp, rl = r
+            return (cr_solve(fac, rp),
+                    jnp.einsum("kij,kj->ki", Dl_inv, rl))
+
+        return apply
 
     def step(k, state):
         poses, lms, lam, trace, cg_total = state
@@ -327,8 +374,11 @@ def optimize_se2(
         Dp, Dl = _diag_blocks_se2(gk, lin)
         b = (-gp * free_p[:, None], -gl * free_l[:, None])
         hvp = _hvp_se2(gk, lin, free_p, free_l, lam, Dp, Dl)
-        precond = _block_jacobi_precond(Dp, Dl, free_p, free_l, lam)
-        (dp, dl), cg_k, _ = pcg(hvp, b, precond, max_iters=cg_iters, rtol=1e-8)
+        if precond == "chain":
+            pre = _chain_precond(lin, Dp, Dl, lam)
+        else:
+            pre = _block_jacobi_precond(Dp, Dl, free_p, free_l, lam)
+        (dp, dl), cg_k, _ = pcg(hvp, b, pre, max_iters=cg_iters, rtol=1e-8)
 
         new_poses = poses + dp * free_p[:, None]
         new_poses = new_poses.at[:, 2].set(lie.wrap_angle(new_poses[:, 2]))
@@ -341,12 +391,17 @@ def optimize_se2(
         trace = trace.at[k + 1].set(jnp.where(accept, lin_new.chi2, lin.chi2))
         return poses, lms, lam, trace, cg_total + cg_k
 
-    poses, lms, lam, trace, cg_total = jax.lax.fori_loop(
-        0,
-        iters,
-        step,
-        (g.poses, g.landmarks, jnp.asarray(lm_lambda0, g.poses.dtype), chi2_trace, 0),
-    )
+    try:
+        poses, lms, lam, trace, cg_total = jax.lax.fori_loop(
+            0,
+            iters,
+            step,
+            (g.poses, g.landmarks, jnp.asarray(lm_lambda0, g.poses.dtype),
+             chi2_trace, 0),
+        )
+    finally:
+        if prec_ctx is not None:
+            prec_ctx.__exit__(None, None, None)
     return g.with_poses(poses, lms), OptStats(trace, lam, cg_total)
 
 

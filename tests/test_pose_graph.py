@@ -78,6 +78,17 @@ class TestSyntheticSE2:
         rmse = np.sqrt(np.mean(np.sum((est[:, :2] - gt[:, :2]) ** 2, axis=1)))
         assert rmse < 1e-2, rmse
 
+    def test_chain_precond_matches_jacobi_optimum(self):
+        """The chain (cyclic-reduction) preconditioner changes convergence
+        RATE only — both variants must land on the same optimum."""
+        log, _ = make_circle_graph(noise=0.05)
+        g, _ = graph2d_from_log(log)
+        g1, s1 = pg.optimize_se2(g, iters=15, cg_iters=100)
+        g2, s2 = pg.optimize_se2(g, iters=15, cg_iters=100, precond="chain")
+        a = float(np.asarray(s1.chi2)[-1])
+        b = float(np.asarray(s2.chi2)[-1])
+        assert b == pytest.approx(a, rel=1e-2)
+
     def test_noisy_circle_reaches_first_order_optimum(self):
         log, gt = make_circle_graph(noise=0.05)
         g, _ = graph2d_from_log(log)
