@@ -30,11 +30,14 @@ def _random_ghosts(n_dev, B, G, seed):
     return ghosts
 
 
-@pytest.mark.parametrize("n_dev,B,G,seed", [(2, 4, 3, 0), (4, 8, 5, 1),
-                                            (8, 16, 7, 2)])
-def test_halo_gather_and_reduce_match_oracle(n_dev, B, G, seed):
+@pytest.mark.parametrize("n_dev,B,G,seed,mode", [
+    (2, 4, 3, 0, "auto"), (4, 8, 5, 1, "auto"), (8, 16, 7, 2, "auto"),
+    (4, 8, 5, 1, "a2a"), (8, 16, 7, 2, "a2a"),
+    (8, 16, 7, 2, "ppermute"),
+])
+def test_halo_gather_and_reduce_match_oracle(n_dev, B, G, seed, mode):
     ghosts = _random_ghosts(n_dev, B, G, seed)
-    spec = build_halo_spec(ghosts, B, n_dev, G)
+    spec = build_halo_spec(ghosts, B, n_dev, G, mode=mode)
     mesh = make_mesh(n_dev)
     rng = np.random.default_rng(seed + 100)
     v = rng.normal(size=(n_dev, B, 3)).astype(np.float32)

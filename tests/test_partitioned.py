@@ -110,6 +110,35 @@ def test_partitioned_victoria_full():
     assert comm["bytes_total"] > 0
 
 
+@pytest.mark.skipif(not os.path.isdir(DATA), reason="reference datasets missing")
+def test_partitioned_chain_precond_converges_faster():
+    """The block-local chain preconditioner (zero extra comm) must reach a
+    meaningfully lower chi2 than block-Jacobi at the same LM/CG budget on a
+    chain-dominated graph, and agree with it at convergence-scale budgets on
+    a small graph."""
+    from g2o_frontend_tpu.graph.store import graph2d_from_log
+    from g2o_frontend_tpu.io.g2o import read_g2o
+    from g2o_frontend_tpu.parallel.partitioned_pose_graph import (
+        optimize_se2_partitioned)
+
+    g, _ = graph2d_from_log(
+        read_g2o(os.path.join(DATA, "victoriaPark-full.g2o.gz")))
+    mesh = make_mesh(4)
+    _, tr_j, _ = optimize_se2_partitioned(g, mesh, iters=4, cg_iters=60)
+    _, tr_c, _ = optimize_se2_partitioned(g, mesh, iters=4, cg_iters=60,
+                                          precond="chain")
+    cj = float(np.asarray(tr_j)[-1])
+    cc = float(np.asarray(tr_c)[-1])
+    assert cc < 0.8 * cj, (cj, cc)
+
+    g2 = _ring_graph()
+    _, t1, _ = optimize_se2_partitioned(g2, mesh, iters=12, cg_iters=120)
+    _, t2, _ = optimize_se2_partitioned(g2, mesh, iters=12, cg_iters=120,
+                                        precond="chain")
+    a, b = float(np.asarray(t1)[-1]), float(np.asarray(t2)[-1])
+    assert b == pytest.approx(a, rel=5e-2)
+
+
 def test_comm_volume_is_o_ghosts():
     """Per-matvec bytes must be O(ghosts) — not O(N) — and must not grow
     with mesh size (VERDICT r2 item 2: the all_gather halo's per-device
