@@ -554,17 +554,28 @@ def optimize_se2_direct(
     return g.with_poses(poses, lms), OptStats(trace, lam, k)
 
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters", "huber_delta"))
+@partial(jax.jit,
+         static_argnames=("iters", "cg_iters", "huber_delta", "precond"))
 def optimize_se3(
     g: PoseGraph3D,
     iters: int = 10,
     cg_iters: int = 100,
     lm_lambda0: float = 1e-4,
     huber_delta: float | None = None,
+    precond: str = "jacobi",
 ) -> tuple[PoseGraph3D, OptStats]:
-    """LM-optimize an SE3 pose graph; updates are right-multiplied twists."""
+    """LM-optimize an SE3 pose graph; updates are right-multiplied twists.
+
+    precond: "jacobi" or "chain" (block-tridiagonal odometry-chain factor
+    via cyclic reduction — see optimize_se2).
+    """
     free_p = (g.pose_mask & ~g.fixed).astype(g.poses.dtype)
     NP = g.poses.shape[0]
+    if precond == "chain":
+        from .tridiag import cr_factor, cr_solve
+
+        chain = (g.pp_ij[:, 1] == g.pp_ij[:, 0] + 1) & g.pp_mask
+        chain_i = jnp.where(chain, g.pp_ij[:, 0], NP - 1)
     zeros_l = jnp.zeros((1, 2), dtype=g.poses.dtype)  # dummy landmark block
     free_l = jnp.zeros(1, dtype=g.poses.dtype)
 
@@ -617,14 +628,34 @@ def optimize_se3(
         eye6 = jnp.eye(6, dtype=Dp.dtype)
         Dp_d = (1.0 + lam) * Dp + 1e-6 * eye6
         Dp_d = jnp.where(free_p[:, None, None] > 0, Dp_d, eye6)
-        Dp_inv = jnp.linalg.inv(Dp_d)
+        if precond == "chain":
+            U_chain = jax.ops.segment_sum(
+                jnp.einsum("kdi,kde,kej->kij", lin.Ji_pp,
+                           lin.w_pp * chain[:, None, None], lin.Jj_pp),
+                chain_i, NP,
+            )
+            fnext = jnp.concatenate(
+                [free_p[1:], jnp.zeros(1, free_p.dtype)]
+            )
+            U_pre = U_chain * (free_p * fnext)[:, None, None]
+            L_pre = jnp.concatenate(
+                [jnp.zeros((1, 6, 6), Dp.dtype),
+                 jnp.swapaxes(U_pre, 1, 2)[:-1]]
+            )
+            fac = cr_factor(L_pre, Dp_d, U_pre)
 
-        def precond(r):
-            rp, rl = r
-            return (jnp.einsum("kij,kj->ki", Dp_inv, rp), rl)
+            def pre(r):
+                rp, rl = r
+                return (cr_solve(fac, rp), rl)
+        else:
+            Dp_inv = jnp.linalg.inv(Dp_d)
+
+            def pre(r):
+                rp, rl = r
+                return (jnp.einsum("kij,kj->ki", Dp_inv, rp), rl)
 
         b = (-gp * free_p[:, None], jnp.zeros_like(zeros_l))
-        (dp, _), cg_k, _ = pcg(hvp, b, precond, max_iters=cg_iters, rtol=1e-8)
+        (dp, _), cg_k, _ = pcg(hvp, b, pre, max_iters=cg_iters, rtol=1e-8)
 
         new_poses = apply_update(poses, dp * free_p[:, None])
         lin_new = linearize_se3(g.with_poses(new_poses), huber_delta)

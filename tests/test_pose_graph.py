@@ -225,6 +225,20 @@ class TestBundledDatasets:
         g_opt, stats = pg.optimize_se2(g, iters=10, cg_iters=100)
         assert float(stats.chi2[-1]) <= chi2_0
 
+    def test_graphse3_chain_precond_cuts_matvecs(self):
+        """SE3 chain preconditioner: same optimum, far fewer CG matvecs
+        (graphSE3: measured 18 vs 480 total) — matvecs are communication in
+        the distributed runs, so this is the number that scales."""
+        log = read_g2o(os.path.join(DATA, "graphSE3.g2o"))
+        g, _ = graph3d_from_log(log)
+        g1, s1 = pg.optimize_se3(g, iters=8, cg_iters=60)
+        g2, s2 = pg.optimize_se3(g, iters=8, cg_iters=60, precond="chain")
+        a = float(np.asarray(s1.chi2)[-1])
+        b = float(np.asarray(s2.chi2)[-1])
+        assert b <= max(2 * a, 1e-8), (a, b)
+        assert int(s2.cg_iters) < 0.25 * int(s1.cg_iters), (
+            int(s1.cg_iters), int(s2.cg_iters))
+
     def test_world2000(self):
         log = read_g2o(os.path.join(DATA, "world-2000-full.g2o.gz"))
         g, _ = graph2d_from_log(log)
