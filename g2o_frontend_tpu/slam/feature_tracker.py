@@ -105,6 +105,11 @@ class Tracker2DConfig:
     global_optimize_iters: int = 15
     # "pcg" (online default) | "schur" (offline polish; see optimize())
     global_solver: str = "pcg"
+    # robust (Huber) kernel width in whitened-residual units for GLOBAL
+    # optimization; None = quadratic. Under unknown DA the surviving
+    # mis-associations otherwise distort the whole trajectory (the
+    # reference attaches g2o robust kernels the same way).
+    huber_delta: float | None = None
     cg_iters: int = 60
     local_cg_iters: int = 30
     odom_info: tuple = (100.0, 100.0, 1000.0)
@@ -401,13 +406,15 @@ class FeatureTracker2D:
             from ..solvers.schur_pcg import optimize_se2_schur
 
             g_opt, stats = optimize_se2_schur(
-                g, iters=cfg.global_optimize_iters, cg_iters=cfg.cg_iters
+                g, iters=cfg.global_optimize_iters, cg_iters=cfg.cg_iters,
+                huber_delta=cfg.huber_delta,
             )
         else:
             from ..solvers.pose_graph import optimize_se2
 
             g_opt, stats = optimize_se2(
-                g, iters=cfg.global_optimize_iters, cg_iters=cfg.cg_iters
+                g, iters=cfg.global_optimize_iters, cg_iters=cfg.cg_iters,
+                huber_delta=cfg.huber_delta,
             )
         self._sync_from_graph(g_opt)
         return float(np.asarray(stats.chi2)[-1])

@@ -377,6 +377,21 @@ def eval_victoria(fast):
     if tr.cull_weak_landmarks(min_obs=2):
         tr.reassociate(gate=1.5)
         chi2 = tr.optimize(local=False)
+    # Schur polish (r3): the PCG path stalls well above this graph's own
+    # optimum (EVAL §1: same structure as victoriaPark-full, chain + landmark
+    # arrow). Switch the final optimizations to the Schur/chain solver and
+    # run one more EM round on the tightened trajectory — better marginals
+    # expose the remaining duplicate landmarks.
+    tr.cfg.global_solver = "schur"
+    chi2 = tr.optimize(local=False)
+    for _ in range(2):
+        moved = tr.reassociate(gate=1.5)
+        m = tr.merge_landmarks_mahalanobis(chi2_gate=9.21,
+                                           prefilter_distance=12.0)
+        m += tr.merge_nearby_landmarks()
+        if not (moved or m):
+            break
+        chi2 = tr.optimize(local=False)
     wall = time.perf_counter() - t0
 
     est = tr.trajectory()[: len(ref_traj)]
@@ -592,8 +607,9 @@ def main():
     ap.add_argument("--fast", action="store_true")
     ap.add_argument(
         "--only",
-        choices=["victoria"] + sorted(CORE_SECTIONS),
-        help="re-run one section (core results cached in eval_out/core.json)",
+        choices=["victoria", "report"] + sorted(CORE_SECTIONS),
+        help="re-run one section (core results cached in eval_out/core.json);"
+        " 'report' regenerates EVAL.md from the cached results only",
     )
     args = ap.parse_args()
     os.makedirs(OUT, exist_ok=True)
@@ -606,7 +622,9 @@ def main():
     results = {}
     if os.path.isfile(core_path):
         results = json.load(open(core_path))
-    if args.only:
+    if args.only == "report":
+        pass  # regenerate EVAL.md from cached core.json/victoria.json
+    elif args.only:
         results[args.only] = CORE_SECTIONS[args.only](args.fast)
     else:
         for name, fn in CORE_SECTIONS.items():
@@ -704,7 +722,13 @@ def main():
     if os.path.isfile(vic_path):
         v = json.load(open(vic_path))
         lines += ["", "## 5. Victoria Park unknown DA (params.txt recipe)", "",
-                  f"- frames: {v['frames']}, landmarks: {v['landmarks']}",
+                  "Online tracking + closure, then covariance-gated merge/EM "
+                  "rounds, finished with a Schur/chain-solver polish (the PCG "
+                  "path stalls far above this chain+landmark graph's optimum, "
+                  "EVAL §1) and one more merge/EM round on the tightened "
+                  "trajectory.", "",
+                  f"- frames: {v['frames']}, landmarks: {v['landmarks']} "
+                  "(151 in the full-association ground truth)",
                   f"- ATE vs full-association optimum: "
                   f"**{v['ate_vs_full_optimum_rmse']:.3f} m** "
                   f"(odometry baseline: {v['ate_odometry_rmse']:.3f} m)",

@@ -250,6 +250,42 @@ class TestBundledDatasets:
         assert chi2_end < 0.7 * chi2_0, (chi2_0, chi2_end)
 
 
+def test_huber_downweights_outlier_edge():
+    """A grossly-wrong loop edge must not distort the robust solution.
+
+    The reference attaches g2o robust kernels for exactly this (unknown-DA
+    mis-associations); `huber_delta` is the whitened-residual width."""
+    import g2o_frontend_tpu.io.g2o as g2o_io
+
+    n = 30
+    gt = np.zeros((n, 3))
+    gt[:, 0] = np.arange(n, dtype=float)  # straight-line trajectory
+    pp_ij = [[i, i + 1] for i in range(n - 1)]
+    pp_z = [[1.0, 0.0, 0.0]] * (n - 1)
+    # outlier closure: claims pose 25 sits back at pose 5's position
+    pp_ij.append([5, 25])
+    pp_z.append([0.0, 0.0, 0.0])
+    info = np.tile(np.eye(3) * 100, (len(pp_ij), 1, 1))
+    init = gt + rng.normal(0, 0.05, gt.shape)
+    init[0] = gt[0]
+    log = g2o_io.G2OLog(
+        se2_ids=np.arange(n),
+        se2_poses=init,
+        edge_se2_ij=np.asarray(pp_ij),
+        edge_se2_meas=np.asarray(pp_z, float),
+        edge_se2_info=info,
+        fixed_ids=np.array([0]),
+    )
+    g, _ = graph2d_from_log(log)
+    g_plain, _ = pg.optimize_se2(g, iters=15, cg_iters=80)
+    g_rob, _ = pg.optimize_se2(g, iters=15, cg_iters=80, huber_delta=3.0)
+    err_plain = np.abs(np.asarray(g_plain.poses)[:n, :2] - gt[:, :2]).max()
+    err_rob = np.abs(np.asarray(g_rob.poses)[:n, :2] - gt[:, :2]).max()
+    # quadratic: the outlier drags the chain meters off; huber: near-GT
+    assert err_plain > 1.0, err_plain
+    assert err_rob < 0.35 * err_plain, (err_plain, err_rob)
+
+
 def test_map_node_alias_levels():
     """MapNodeAlias proxies the original's pose one level up (map_core.h:79-99)."""
     import numpy as np
