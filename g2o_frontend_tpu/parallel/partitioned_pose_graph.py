@@ -60,6 +60,8 @@ class PartitionedSE2(NamedTuple):
     pp_info: np.ndarray  # (D, E, 3, 3)
     pp_mask: np.ndarray  # (D, E) bool
     pp_chain: np.ndarray  # (D, E) bool: block-INTERNAL consecutive odometry
+    pp_bnd: np.ndarray  # (D, E) bool: the right-BOUNDARY consecutive edge
+    # (global i = lo+B-1 -> j = lo+B; feeds the SPIKE interface coupling)
     pl_ij: np.ndarray  # (D, EL, 2) int32 (local pose slot, LOCAL lm slot)
     pl_meas: np.ndarray  # (D, EL, 2)
     pl_info: np.ndarray  # (D, EL, 2, 2)
@@ -67,6 +69,9 @@ class PartitionedSE2(NamedTuple):
     lms_blk: np.ndarray  # (D, BL, 2) landmark blocks — sharded, NOT replicated
     free_l_blk: np.ndarray  # (D, BL) f32
     lm_ghost_ids: np.ndarray  # (D, GL) int32 global landmark ids (0-padded)
+    lm_gid: np.ndarray  # (D, BL+GL) int32 global lm id per local slot
+    # (own slots then ghost slots; padding slots 0 — only reached by edges
+    # whose mask already zeroes their weight)
     n_poses: int  # true NP (before block padding)
     n_landmarks: int  # true NL
     lm_owner: np.ndarray  # (NL,) int32 owning device per landmark
@@ -161,6 +166,7 @@ def partition_se2(g: PoseGraph2D, n_dev: int,
     pp_info_l = np.zeros((n_dev, E, 3, 3), np.float32)
     pp_mask_l = np.zeros((n_dev, E), bool)
     pp_chain_l = np.zeros((n_dev, E), bool)
+    pp_bnd_l = np.zeros((n_dev, E), bool)
     pl_ij_l = np.zeros((n_dev, EL, 2), np.int32)
     pl_meas_l = np.zeros((n_dev, EL, 2), np.float32)
     pl_info_l = np.zeros((n_dev, EL, 2, 2), np.float32)
@@ -176,6 +182,7 @@ def partition_se2(g: PoseGraph2D, n_dev: int,
     lms_blk = np.zeros((n_dev, BL, 2), np.float32)
     free_l_blk = np.zeros((n_dev, BL), np.float32)
     lm_ghost_ids = np.zeros((n_dev, GL), np.int32)
+    lm_gid = np.zeros((n_dev, BL + GL), np.int32)
 
     for s in range(n_dev):
         lo = s * B
@@ -190,6 +197,8 @@ def partition_se2(g: PoseGraph2D, n_dev: int,
         free_l_blk[s, : len(mine)] = lmask[mine].astype(np.float32)
         lgmap = {l: BL + r for r, l in enumerate(lm_ghosts[s])}
         lm_ghost_ids[s, : len(lm_ghosts[s])] = lm_ghosts[s]
+        lm_gid[s, : len(mine)] = mine
+        lm_gid[s, BL : BL + len(lm_ghosts[s])] = lm_ghosts[s]
 
         def loc(p):
             return p - lo if lo <= p < lo + B else gmap[int(p)]
@@ -208,6 +217,9 @@ def partition_se2(g: PoseGraph2D, n_dev: int,
                 pp_ij[k, 1] == pp_ij[k, 0] + 1
                 and lo <= pp_ij[k, 0] < lo + B - 1
             )
+            pp_bnd_l[s, r] = (
+                pp_ij[k, 1] == pp_ij[k, 0] + 1 and pp_ij[k, 0] == lo + B - 1
+            )
         for r, k in enumerate(own_pl[s]):
             pl_ij_l[s, r] = (loc(pl_ij[k, 0]), loc_l(pl_ij[k, 1]))
             pl_meas_l[s, r] = pl_meas[k]
@@ -223,6 +235,7 @@ def partition_se2(g: PoseGraph2D, n_dev: int,
         pp_info=pp_info_l,
         pp_mask=pp_mask_l,
         pp_chain=pp_chain_l,
+        pp_bnd=pp_bnd_l,
         pl_ij=pl_ij_l,
         pl_meas=pl_meas_l,
         pl_info=pl_info_l,
@@ -230,6 +243,7 @@ def partition_se2(g: PoseGraph2D, n_dev: int,
         lms_blk=lms_blk,
         free_l_blk=free_l_blk,
         lm_ghost_ids=lm_ghost_ids,
+        lm_gid=lm_gid,
         n_poses=NP,
         n_landmarks=NL,
         lm_owner=lm_owner,
@@ -246,9 +260,9 @@ def partition_stats(p: PartitionedSE2) -> dict:
     full = 0
     for a in [getattr(p, name) for name in
               ("poses_blk", "free_p_blk", "ghost_ids", "pp_ij", "pp_meas",
-               "pp_info", "pp_mask", "pp_chain", "pl_ij", "pl_meas",
+               "pp_info", "pp_mask", "pp_chain", "pp_bnd", "pl_ij", "pl_meas",
                "pl_info", "pl_mask", "lms_blk", "free_l_blk",
-               "lm_ghost_ids")] + [
+               "lm_ghost_ids", "lm_gid")] + [
               p.halo.send_idx, p.halo.recv_pos,
               p.halo_l.send_idx, p.halo_l.recv_pos]:
         per_dev += a.nbytes // a.shape[0]

@@ -380,8 +380,9 @@ def eval_victoria(fast):
     # Schur polish (r3): the PCG path stalls well above this graph's own
     # optimum (EVAL §1: same structure as victoriaPark-full, chain + landmark
     # arrow). Switch the final optimizations to the Schur/chain solver and
-    # run one more EM round on the tightened trajectory — better marginals
-    # expose the remaining duplicate landmarks.
+    # run one more EM round on the tightened trajectory. (Measured r3: the
+    # ATE gain comes from the Schur solve itself; the extra merge rounds
+    # found no further duplicates on this run.)
     tr.cfg.global_solver = "schur"
     chi2 = tr.optimize(local=False)
     for _ in range(2):
@@ -629,8 +630,11 @@ def main():
     else:
         for name, fn in CORE_SECTIONS.items():
             results[name] = fn(args.fast)
-    with open(core_path, "w") as fh:
-        json.dump(results, fh)
+    # never clobber the cache with an empty dict (--only report before any
+    # compute run would otherwise create a valid-looking {} cache, ADVICE r3)
+    if results:
+        with open(core_path, "w") as fh:
+            json.dump(results, fh)
 
     lines = ["# Evaluation results", "",
              "Bundled-dataset evaluation per BASELINE.md configs.", ""]
