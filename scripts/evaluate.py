@@ -72,7 +72,13 @@ def eval_pose_graphs(fast):
         g_sch, st_sch = optimize_se2_schur(g, iters=150, cg_iters=200)
         chi2_schur = float(np.asarray(st_sch.chi2)[-1])
         wall_schur = round(time.perf_counter() - t0, 2)
-        ctl = control_optimize_se2(g, max_iters=150)
+        ctl = control_optimize_se2(g, max_iters=300)
+        if f == "victoriaPark-full.g2o.gz":
+            # the ONE canonical control value bench.py gates against
+            # (VERDICT r3 Next 4: one source of truth)
+            with open(os.path.join(OUT, "control_victoria.json"), "w") as fh:
+                json.dump({"chi2_control": float(ctl["chi2"]),
+                           "source": "solvers/control.py"}, fh)
         # exact-Newton mode where the dense Hessian is tractable on the
         # current backend (victoriaPark's 21k-DOF dense Cholesky is a TPU
         # MXU workload; on the CPU eval backend cap the size)
