@@ -97,6 +97,11 @@ def main(argv=None):
     )
     closer = MapCloser(tracker.manager, tracker.cache, proj, acfg, closer_cfg)
     reflector = MapReflector(tracker.manager)
+    # level-1 big-node layer (MapMerger stream grouping, map_merger.cpp:43):
+    # feeds the coarse pass of optimize_hierarchical below
+    from ..slam.map_merger import MapMerger
+
+    merger = MapMerger(tracker.manager, list_size=5)
 
     # frame source
     frames = []
@@ -128,20 +133,25 @@ def main(argv=None):
         m = tracker.process_frame(depth)
         timestamps.append(ts)
         if m["keyframe"] and tracker.n_keyframes > 2:
-            rels = closer.process_key_node(tracker.manager.nodes[-1])
+            key_node = tracker.manager.nodes[-1]
+            rels = closer.process_key_node(key_node)
+            merger.process_key_node(key_node)
             n_closures += len(rels)
             if (
                 rels
                 or tracker.n_keyframes - kf_at_last_opt
                 >= args.optimize_each_n_keyframes
             ):
-                reflector.optimize(iters=5, cg_iters=40)
+                # coarse level-1 solve + rigid warp + warm fine solve —
+                # after a closure the coarse pass removes the long-
+                # wavelength error at ~list_size^2 x cheaper matvecs
+                reflector.optimize_hierarchical(iters=5, cg_iters=40)
                 kf_at_last_opt = tracker.n_keyframes
                 # keep the tracker's frame anchored to the optimized map
                 tracker.global_T = tracker.prev_kf_node.transform.copy()
                 tracker.prev_kf_T = tracker.global_T.copy()
 
-    chi2 = reflector.optimize(iters=10, cg_iters=60)
+    chi2, _ = reflector.optimize_hierarchical(iters=10, cg_iters=60)
     save_map(args.out_map, tracker.manager)
 
     poses7 = []

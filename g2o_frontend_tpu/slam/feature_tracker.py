@@ -64,6 +64,36 @@ def _associate_nn(obs_world, obs_mask, lms, lm_mask, gate):
     return jnp.where(ok, nn_of_obs, -1), best
 
 
+@partial(jax.jit, static_argnames=())
+def _associate_nn_mahal(obs_world, obs_mask, lms, lm_mask, Sinv, chi2_gate,
+                        eucl_cap):
+    """Mahalanobis-gated mutual-NN assignment (VERDICT r3 Next 3).
+
+    ``Sinv[l]`` is the inverse of the landmark's association covariance
+    ``S_l = C_ll + R + sigma_drift^2 I`` (marginal + measurement + pose
+    drift since the last global optimize). Distance to landmark l is
+    ``(o - l)^T Sinv_l (o - l)`` tested against a chi-square(2) gate —
+    duplicates created under drift sit meters apart yet gate IN (large
+    drift-aligned covariance), while distinct nearby trees gate OUT.
+    `eucl_cap` bounds the search radius in meters (keeps gross outliers
+    out even when covariances are huge).
+    """
+    diff = obs_world[:, None, :] - lms[None, :, :]
+    d2m = jnp.einsum("olj,ljk,olk->ol", diff, Sinv, diff)
+    d2e = jnp.sum(diff * diff, -1)
+    big = jnp.asarray(1e12, d2m.dtype)
+    valid = obs_mask[:, None] & lm_mask[None, :] & (
+        d2e < eucl_cap * eucl_cap
+    )
+    d2m = jnp.where(valid, d2m, big)
+    nn_of_obs = jnp.argmin(d2m, axis=1)
+    nn_of_lm = jnp.argmin(d2m, axis=0)
+    best = d2m[jnp.arange(d2m.shape[0]), nn_of_obs]
+    mutual = nn_of_lm[nn_of_obs] == jnp.arange(d2m.shape[0])
+    ok = mutual & (best < chi2_gate) & obs_mask
+    return jnp.where(ok, nn_of_obs, -1), best
+
+
 def _ransac_verify(key, obs_local, lm_world, pairs_mask, pose_guess, thresh):
     """RANSAC over tentative pairs: returns corrected pose + inlier mask.
 
@@ -118,6 +148,25 @@ class Tracker2DConfig:
     # as the pose estimate; RANSAC only validates correspondences and never
     # overrides the pose (optimization corrects it instead)
     odometry_is_good: bool = False
+    # Mahalanobis incremental association (VERDICT r3 Next 3): when
+    # refresh_landmark_covariances() has run, the NN gate becomes
+    # chi-square on ``C_ll + R + sigma_drift^2 I`` instead of Euclidean.
+    # sigma_drift grows per frame since the last refresh (odometry drift);
+    # mahal_eucl_cap bounds the search radius in meters.
+    mahal_chi2_gate: float = 9.21  # chi2(2) 99%
+    mahal_drift_sigma: float = 0.05  # m / frame since last refresh
+    mahal_drift_cap: float = 1.5  # cap on the drift inflation (m) — without
+    # it the gate degenerates to a eucl_cap-radius accept-anything long
+    # after a refresh (measured: ATE 35.8 m, worse than raw odometry)
+    mahal_eucl_cap: float = 10.0
+    # minimum graph capacities: reserving the final size up front means the
+    # jitted global solvers compile ONCE for the whole run instead of at
+    # every capacity doubling (long-run wall-clock is compile-dominated on
+    # the host; the padded rows are masked out)
+    reserve_poses: int = 0
+    reserve_landmarks: int = 0
+    reserve_odom_edges: int = 0
+    reserve_obs_edges: int = 0
     seed: int = 0
 
 
@@ -160,6 +209,10 @@ class FeatureTracker2D:
         # pending tracks: pos (world), count, history [(pose_idx, local_xy, info)]
         self.pending: list[dict] = []
         self.frame = 0
+        # per-landmark 2x2 marginal covariances for Mahalanobis association
+        # (None until refresh_landmark_covariances() runs)
+        self.lm_cov: np.ndarray | None = None
+        self._cov_frame = 0  # frame at last covariance refresh
 
     # -- graph snapshot -----------------------------------------------------
     def graph(self, window_fix_before: int | None = None):
@@ -170,8 +223,11 @@ class FeatureTracker2D:
         nl = len(self.landmarks)
         ep = len(self.odom_edges)
         el = len(self.obs_edges)
-        NP, NL = _cap(max(n, 1)), _cap(max(nl, 1))
-        EP, EL = _cap(max(ep, 1)), _cap(max(el, 1))
+        cfg = self.cfg
+        NP = _cap(max(n, 1, cfg.reserve_poses))
+        NL = _cap(max(nl, 1, cfg.reserve_landmarks))
+        EP = _cap(max(ep, 1, cfg.reserve_odom_edges))
+        EL = _cap(max(el, 1, cfg.reserve_obs_edges))
 
         poses = np.zeros((NP, 3), np.float32)
         if n:
@@ -298,13 +354,41 @@ class FeatureTracker2D:
         lms_pad[:L] = self.landmarks
         alive_pad = np.zeros(LC, bool)
         alive_pad[:L] = self.lm_alive
-        m_idx, _ = _associate_nn(
-            jnp.asarray(obs_pad),
-            jnp.asarray(obs_mask),
-            jnp.asarray(lms_pad),
-            jnp.asarray(alive_pad),
-            cfg.incremental_guess_max_feature_distance,
-        )
+        if self.lm_cov is not None:
+            # Mahalanobis gate: S_l = C_ll + R + sigma_drift^2 I, with the
+            # drift term growing since the last covariance refresh
+            sig2 = min(
+                cfg.mahal_drift_sigma * max(self.frame - self._cov_frame, 1),
+                cfg.mahal_drift_cap,
+            ) ** 2
+            S = np.tile((0.05 ** 2 + sig2) * np.eye(2, dtype=np.float32),
+                        (LC, 1, 1))
+            ncov = min(len(self.lm_cov), L)
+            S[:ncov] += self.lm_cov[:ncov]
+            det = S[:, 0, 0] * S[:, 1, 1] - S[:, 0, 1] * S[:, 1, 0]
+            det = np.maximum(det, 1e-12)
+            Sinv = np.empty_like(S)
+            Sinv[:, 0, 0] = S[:, 1, 1] / det
+            Sinv[:, 1, 1] = S[:, 0, 0] / det
+            Sinv[:, 0, 1] = -S[:, 0, 1] / det
+            Sinv[:, 1, 0] = -S[:, 1, 0] / det
+            m_idx, _ = _associate_nn_mahal(
+                jnp.asarray(obs_pad),
+                jnp.asarray(obs_mask),
+                jnp.asarray(lms_pad),
+                jnp.asarray(alive_pad),
+                jnp.asarray(Sinv),
+                cfg.mahal_chi2_gate,
+                cfg.mahal_eucl_cap,
+            )
+        else:
+            m_idx, _ = _associate_nn(
+                jnp.asarray(obs_pad),
+                jnp.asarray(obs_mask),
+                jnp.asarray(lms_pad),
+                jnp.asarray(alive_pad),
+                cfg.incremental_guess_max_feature_distance,
+            )
         m_idx = np.asarray(m_idx)[:O]
         pairs = m_idx >= 0
         if pairs.sum() < 3:
@@ -392,10 +476,11 @@ class FeatureTracker2D:
             )
 
     # -- optimization -------------------------------------------------------
-    def optimize(self, local=False):
+    def optimize(self, local=False, iters=None):
         if local:
             return self._optimize_window()
         cfg = self.cfg
+        iters = cfg.global_optimize_iters if iters is None else iters
         g = self.graph()
         if cfg.global_solver == "schur":
             # Schur + chain-preconditioned LM (solvers/schur_pcg.py):
@@ -406,18 +491,36 @@ class FeatureTracker2D:
             from ..solvers.schur_pcg import optimize_se2_schur
 
             g_opt, stats = optimize_se2_schur(
-                g, iters=cfg.global_optimize_iters, cg_iters=cfg.cg_iters,
+                g, iters=iters, cg_iters=cfg.cg_iters,
                 huber_delta=cfg.huber_delta,
             )
         else:
             from ..solvers.pose_graph import optimize_se2
 
             g_opt, stats = optimize_se2(
-                g, iters=cfg.global_optimize_iters, cg_iters=cfg.cg_iters,
+                g, iters=iters, cg_iters=cfg.cg_iters,
                 huber_delta=cfg.huber_delta,
             )
         self._sync_from_graph(g_opt)
         return float(np.asarray(stats.chi2)[-1])
+
+    def refresh_landmark_covariances(self):
+        """Recompute per-landmark 2x2 marginal covariances from the current
+        graph (Schur/Woodbury arrow, solvers/schur_pcg.landmark_covariance_
+        se2 — the reference's computeMarginals role) and reset the drift
+        clock. Call after a global optimize; _associate then switches to the
+        Mahalanobis gate (VERDICT r3 Next 3: use the covariance machinery
+        DURING tracking, not just at merge time)."""
+        from ..solvers.schur_pcg import landmark_covariance_se2
+
+        nl = len(self.landmarks)
+        if nl == 0 or not self.lm_alive.any():
+            return
+        cov = landmark_covariance_se2(self.graph())
+        self.lm_cov = np.asarray(
+            cov[np.arange(nl), :, np.arange(nl), :], np.float32
+        )
+        self._cov_frame = self.frame
 
     def _optimize_window(self):
         """Local optimization over the sliding window as a FIXED-CAPACITY

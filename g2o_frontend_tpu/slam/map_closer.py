@@ -89,8 +89,11 @@ class MapCloser:
         selected = [
             n for n in self.manager.select_nodes_by(self.criterion)
             # nodes retired by the map merger stay in the pose array but
-            # must not re-enter closure search (slam/map_merger.py)
+            # must not re-enter closure search (slam/map_merger.py);
+            # higher-level alias nodes proxy an anchor's pose and carry no
+            # sensor payload — closures live within one level
             if n.payload.get("merged_into") is None
+            and n.level == key_node.level
         ]
         if key_node not in selected:
             selected.append(key_node)

@@ -328,7 +328,10 @@ def eval_victoria(fast):
     feats = {}
     for row in log.features:
         feats.setdefault(int(row[0]), []).append(row[1:3])
-    # datasets/2D/params.txt victoria recipe values (incl -odometryIsGood)
+    n_obs_total = sum(len(v) for v in feats.values())
+    # datasets/2D/params.txt victoria recipe values (incl -odometryIsGood).
+    # Capacities are reserved up front so every jitted solver compiles ONCE
+    # for the whole run (r3's wall time was capacity-recompile dominated).
     tr = FeatureTracker2D(
         Tracker2DConfig(
             loop_landmark_merge_distance=2.0,
@@ -340,8 +343,19 @@ def eval_victoria(fast):
             odometry_is_good=True,
             global_optimize_iters=30,
             cg_iters=150,
+            reserve_poses=n_frames,
+            reserve_landmarks=400,
+            reserve_odom_edges=n_frames,
+            reserve_obs_edges=int(1.3 * n_obs_total),
         )
     )
+    # r3 -> r4 (VERDICT Next 3): the association losses happen UPSTREAM, at
+    # incremental time — under -odometryIsGood drift the Euclidean NN gate
+    # starves and every revisit spawns duplicates. Fix: periodic GLOBAL
+    # optimization during tracking (the reference's optimizeEachN global
+    # solve, ``tracker_test.cpp:436``) + Mahalanobis-gated incremental NN
+    # fed by the landmark marginals refreshed after each of those solves.
+    GLOBAL_EVERY = 500
     prev = None
     t0 = time.perf_counter()
     for k in range(min(n_frames, len(log.se2_ids))):
@@ -357,48 +371,28 @@ def eval_victoria(fast):
         tr.process_frame(delta, obs)
         if (k + 1) % 50 == 0:
             tr.close_loops()
-    # two rounds of close -> merge -> global optimize (landmark merges open
-    # new closure matches once the graph tightens)
+        if (k + 1) % GLOBAL_EVERY == 0:
+            tr.optimize(local=False, iters=5)
+            tr.refresh_landmark_covariances()
+    # finish: merge/close/EM rounds at full budget, then ONE budgeted Schur
+    # polish (r3's open-ended polish took 84 s -> 866 s for 0.9 m ATE)
     chi2 = 0.0
     for _ in range(2):
         tr.merge_nearby_landmarks()
         tr.close_loops()
         chi2 = tr.optimize(local=False)
-    # covariance-gated merge passes: duplicates created under drift sit
-    # meters apart but are statistically identical once the joint landmark
-    # covariance (Schur/Woodbury marginals) is taken into account; each
-    # merge tightens the graph and can expose the next (VERDICT r2 item 5)
-    # escalating gate: 99% first (safe merges tighten the graph), then a
-    # relaxed pass — the -odometryIsGood recipe's large odometry information
-    # makes the marginals overconfident, so strict-chi2-only undershoots
-    for gate in (9.21, 9.21, 16.0, 16.0):
+    for gate in (9.21, 16.0):
         m = tr.merge_landmarks_mahalanobis(chi2_gate=gate,
                                            prefilter_distance=12.0)
         moved = tr.reassociate(gate=1.5)
         chi2 = tr.optimize(local=False)
-        if m == 0 and moved == 0 and gate >= 16.0:
+        if m == 0 and moved == 0:
             break
-    # cull spurious/fragment landmarks (single-observation tracks), then a
-    # final EM round — fewer phantom landmarks also tightens the trajectory
+    # cull spurious/fragment landmarks (single-observation tracks)
     if tr.cull_weak_landmarks(min_obs=2):
         tr.reassociate(gate=1.5)
-        chi2 = tr.optimize(local=False)
-    # Schur polish (r3): the PCG path stalls well above this graph's own
-    # optimum (EVAL §1: same structure as victoriaPark-full, chain + landmark
-    # arrow). Switch the final optimizations to the Schur/chain solver and
-    # run one more EM round on the tightened trajectory. (Measured r3: the
-    # ATE gain comes from the Schur solve itself; the extra merge rounds
-    # found no further duplicates on this run.)
     tr.cfg.global_solver = "schur"
-    chi2 = tr.optimize(local=False)
-    for _ in range(2):
-        moved = tr.reassociate(gate=1.5)
-        m = tr.merge_landmarks_mahalanobis(chi2_gate=9.21,
-                                           prefilter_distance=12.0)
-        m += tr.merge_nearby_landmarks()
-        if not (moved or m):
-            break
-        chi2 = tr.optimize(local=False)
+    chi2 = tr.optimize(local=False, iters=40)
     wall = time.perf_counter() - t0
 
     est = tr.trajectory()[: len(ref_traj)]
@@ -524,6 +518,7 @@ def eval_pwn_slam_long(fast):
     n_committed = 0
     n_candidates = 0
     kf_at_last_opt = 0
+    hier_cg = {"coarse": 0, "fine": 0}
     for k, T in enumerate(gts):
         depth = render_planes_depth(T, proj)
         m = tracker.process_frame(depth)
@@ -531,12 +526,18 @@ def eval_pwn_slam_long(fast):
             before = len(
                 [r for r in tracker.manager.relations if r.is_closure]
             )
-            rels = closer.process_key_node(tracker.manager.nodes[-1])
+            key_node = tracker.manager.nodes[-1]
+            rels = closer.process_key_node(key_node)
+            merger.process_key_node(key_node)  # level-1 stream grouping
             after = len([r for r in tracker.manager.relations if r.is_closure])
             n_candidates += max(after - before, 0) + len(rels)
             n_committed += len(rels)
             if rels or tracker.n_keyframes - kf_at_last_opt >= 6:
-                reflector.optimize(iters=5, cg_iters=40)
+                _, hstats = reflector.optimize_hierarchical(
+                    iters=5, cg_iters=40
+                )
+                hier_cg["coarse"] += hstats["coarse_cg"]
+                hier_cg["fine"] += hstats["fine_cg"]
                 kf_at_last_opt = tracker.n_keyframes
                 tracker.global_T = tracker.prev_kf_node.transform.copy()
                 tracker.prev_kf_T = tracker.global_T.copy()
@@ -547,7 +548,9 @@ def eval_pwn_slam_long(fast):
                     translational_threshold=0.15,
                     rotational_threshold=0.15,
                 )
-    chi2 = reflector.optimize(iters=10, cg_iters=60)
+    chi2, hstats = reflector.optimize_hierarchical(iters=10, cg_iters=60)
+    hier_cg["coarse"] += hstats["coarse_cg"]
+    hier_cg["fine"] += hstats["fine_cg"]
     wall = time.perf_counter() - t0
 
     est = tracker.trajectory_array()
@@ -579,6 +582,9 @@ def eval_pwn_slam_long(fast):
         "ate_max_m": float(t_err.max()),
         "kf_ate_rmse_m": float(np.sqrt(np.mean(kf_err**2))),
         "final_chi2": float(chi2),
+        "big_nodes": len([n for n in tracker.manager.nodes if n.level == 1]),
+        "hier_cg_coarse": hier_cg["coarse"],
+        "hier_cg_fine": hier_cg["fine"],
         "wall_s": round(wall, 1),
     }
 

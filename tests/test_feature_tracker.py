@@ -223,3 +223,61 @@ class TestBundledNoassoc:
         ref = log.se2_poses[:n_frames]
         rmse = np.sqrt(np.mean(np.sum((est[:, :2] - ref[:, :2]) ** 2, -1)))
         assert rmse < 1.0, rmse
+
+
+def test_mahalanobis_association_gate():
+    """Drift-elongated covariance gates IN a distant duplicate while a
+    tight covariance gates OUT a nearer distinct landmark (the failure
+    modes of the Euclidean gate, in both directions)."""
+    import jax.numpy as jnp
+
+    from g2o_frontend_tpu.slam.feature_tracker import _associate_nn_mahal
+
+    obs = jnp.asarray([[3.0, 0.0]])
+    obs_mask = jnp.asarray([True])
+    lms = jnp.asarray([[0.0, 0.0], [3.0, 1.2]])
+    lm_mask = jnp.asarray([True, True])
+    # lm0: huge covariance along x (drift direction) -> obs 3 m away is
+    # statistically the same point; lm1: tight covariance -> 1.2 m is >3sigma
+    Sinv = jnp.asarray(np.stack([
+        np.linalg.inv(np.diag([4.0, 0.04])),
+        np.linalg.inv(np.diag([0.04, 0.04])),
+    ]).astype(np.float32))
+    m, d = _associate_nn_mahal(obs, obs_mask, lms, lm_mask, Sinv,
+                               9.21, 10.0)
+    assert int(m[0]) == 0  # matches the elongated-covariance landmark
+    # with only the tight landmark available, the 1.2 m match is rejected
+    m2, _ = _associate_nn_mahal(obs, obs_mask, lms,
+                                jnp.asarray([False, True]), Sinv, 9.21, 10.0)
+    assert int(m2[0]) == -1
+
+
+def test_refresh_landmark_covariances_feeds_association():
+    """After a covariance refresh the tracker uses the Mahalanobis gate and
+    still associates repeat observations of the same landmarks."""
+    from g2o_frontend_tpu.slam.feature_tracker import (FeatureTracker2D,
+                                                       Tracker2DConfig)
+
+    rng = np.random.default_rng(0)
+    lms_gt = np.array([[2.0, 1.0], [3.0, -1.5], [5.0, 0.5], [1.0, -1.0]])
+    tr = FeatureTracker2D(Tracker2DConfig(min_landmark_creation_frames=1,
+                                          optimize_each_n=0))
+    pose = np.zeros(3)
+    for k in range(6):
+        delta = np.array([0.3, 0.0, 0.02], np.float32) if k else np.zeros(3)
+        if k:
+            c, s = np.cos(pose[2]), np.sin(pose[2])
+            pose = np.array([pose[0] + c * 0.3, pose[1] + s * 0.3,
+                             pose[2] + 0.02])
+        obs = []
+        c, s = np.cos(pose[2]), np.sin(pose[2])
+        R = np.array([[c, s], [-s, c]])
+        for l in lms_gt:
+            obs.append(R @ (l - pose[:2]) + rng.normal(0, 0.01, 2))
+        tr.process_frame(delta, np.asarray(obs, np.float32))
+        if k == 3:
+            tr.optimize(local=False, iters=5)
+            tr.refresh_landmark_covariances()
+            assert tr.lm_cov is not None and len(tr.lm_cov) >= 4
+    # no duplicates created after the refresh switched gates
+    assert int(tr.lm_alive.sum()) == len(lms_gt), int(tr.lm_alive.sum())
