@@ -1,0 +1,87 @@
+"""TUM odometry protocol ON THE TPU (VERDICT r3 Next 5).
+
+EVAL §4's 189 ms/frame was CPU-only while the bare aligner does 300+ fps
+on-chip; the host decode/transfer boundary had never been measured. This
+sidecar runs the same pwn_odometry CLI (PNG decode -> convert -> align ->
+emit, ``pwn_odometry.cpp:27-46``) on the tunneled chip and records the
+HONEST end-to-end number (decode + H2D + align per frame) next to the
+in-tracker frame time. Writes eval_out/tum_tpu.json for EVAL §4.
+
+Run on a quiet host (tunnel handshake starves under CPU load):
+    python scripts/eval_tum_tpu.py
+"""
+import contextlib
+import io
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+try:
+    jax.devices()
+except RuntimeError:
+    jax.config.update("jax_platforms", "")
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "eval_out")
+
+
+def run_cli(seq, scale):
+    from g2o_frontend_tpu.apps.pwn_odometry import main as odo_main
+
+    buf = io.StringIO()
+    t0 = time.perf_counter()
+    with contextlib.redirect_stdout(buf):
+        odo_main([seq, "--out", os.path.join(OUT, "tum_traj_tpu.txt"),
+                  "--scale", str(scale), "--sensor", "kinect",
+                  "--kf-fraction", "0.75",
+                  "--benchmark-out", os.path.join(OUT, "tum_benchmark_tpu.txt")])
+    wall = time.perf_counter() - t0
+    res = json.loads(buf.getvalue().strip().splitlines()[-1])
+    return res, wall
+
+
+def main():
+    plat = jax.devices()[0].platform
+    print("platform:", plat, flush=True)
+    seq = os.path.join(OUT, "tum_seq")
+    if not os.path.isfile(os.path.join(seq, "depth.txt")):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from make_tum_sequence import main as make_seq
+
+        make_seq([seq, "--frames", "120"])
+
+    # cold run (compiles), then the steady-state run we report
+    res_cold, wall_cold = run_cli(seq, scale=2)
+    res, wall = run_cli(seq, scale=2)
+    out = {
+        "platform": plat,
+        "frames": res["frames"],
+        "keyframes": res["keyframes"],
+        "ate_rmse_m": res.get("ate", {}).get("rmse"),
+        # in-tracker frame time (process_frame only, decode excluded)
+        "frame_ms_tracker": round(res["mean_frame_time_s"] * 1e3, 2),
+        # HONEST e2e: total warm wall / frames — includes PNG decode,
+        # host->device transfer, trajectory + benchmark emission
+        "frame_ms_e2e": round(wall / res["frames"] * 1e3, 2),
+        "fps_e2e": round(res["frames"] / wall, 2),
+        "wall_cold_s": round(wall_cold, 1),
+        "wall_warm_s": round(wall, 1),
+        "benchmark_file": "eval_out/tum_benchmark_tpu.txt",
+    }
+    with open(os.path.join(OUT, "tum_tpu.json"), "w") as fh:
+        json.dump(out, fh)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
