@@ -95,9 +95,13 @@ def build_halo_spec(ghosts: list, B: int, n_dev: int, G: int,
         max(len(v) for v in by_shift[k].values()) for k in shifts
     )
     if mode == "auto":
-        # a2a cuts the collective count to 1 when many shifts are active,
-        # but pads every partner lane to the max pairwise count; take it
-        # only when that padding costs < 25% extra wire volume
+        # a2a cuts the collective count to 1 regardless of partner count,
+        # at the cost of padding every partner lane to the max pairwise
+        # count. MEASURED (scripts/bench_halo_modes.py, victoriaPark
+        # partitions, r4): a2a wins 12-15% wall per matvec at D=4/8 even
+        # carrying 1.3-1.4x the wire bytes — launch count dominates at
+        # these O(KB) payloads. Prefer a2a whenever >2 shifts are active,
+        # unless its lane padding would more than double the bytes.
         pair = max(
             (len(e) for k in by_shift for e in by_shift[k].values()),
             default=1,
@@ -105,7 +109,7 @@ def build_halo_spec(ghosts: list, B: int, n_dev: int, G: int,
         a2a_slots = (n_dev - 1) * pair
         mode = (
             "a2a"
-            if len(shifts) > 3 and a2a_slots <= 1.25 * sum(sizes)
+            if len(shifts) > 2 and a2a_slots <= 2.0 * sum(sizes)
             else "ppermute"
         )
 

