@@ -493,6 +493,41 @@ def main():
     }
     print(json.dumps(out))
 
+    # keep EVAL §6's source artifact in sync with this run (one source of
+    # truth, VERDICT r3 Next 4): update the fields this bench measures,
+    # preserve the profile-script-derived ones (roofline notes, recall,
+    # batched closer)
+    if _ON_TPU:
+        tb_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "eval_out", "tpu_bench.json")
+        try:
+            tb = json.load(open(tb_path)) if os.path.isfile(tb_path) else {}
+        except Exception:
+            tb = {}
+        ms_per_iter = 1e3 / out["value"] / 10  # 10 outer iterations/frame
+        tb.update({
+            "platform": "TPU v5e (1 chip, tunneled)",
+            "align_fps_fused": out["value"],
+            "align_fps_gather": out["align_fps_gather"],
+            "align_ms_per_iteration_fused": round(ms_per_iter, 3),
+            "align_t_err_m": out["align_t_err_m"],
+            "tracker_fps_e2e": out["tracker_fps_e2e"],
+            "convert_fps": out["convert_fps"],
+            "vs_cpu_control": out["vs_baseline"],
+            "source": "bench.py (auto-synced on every TPU run)",
+        })
+        if "roofline" in tb:
+            tb["roofline"]["measured_us"] = round(ms_per_iter * 1e3)
+            if tb["roofline"].get("hbm_floor_us"):
+                tb["roofline"]["hbm_roofline_fraction"] = round(
+                    tb["roofline"]["hbm_floor_us"] / (ms_per_iter * 1e3), 3
+                )
+        try:
+            with open(tb_path, "w") as fh:
+                json.dump(tb, fh, indent=1)
+        except OSError:
+            pass
+
 
 if __name__ == "__main__":
     main()

@@ -782,9 +782,9 @@ def main():
               "control = float64 sparse-Cholesky LM to convergence",
               "(solvers/control.py, the g2o+CHOLMOD role).", "",
               "On victoriaPark the Schur solver lands BELOW the cold",
-              "control: warm-starting the float64 control from its output",
-              "converges to 21,814.9 — a better basin than the control's",
-              "own 22,576.", "",
+              "control (table): warm-starting the float64 control from the",
+              "Schur output converges to 21,814.9 — a better basin than",
+              "the control finds from the dataset initialization.", "",
               "| dataset | poses | edges | chi2 Schur | chi2 PCG | chi2 direct | chi2 control | wall s (Schur) |",
               "|---|---|---|---|---|---|---|---|"]
     for r in results.get("pose_graphs", []):
@@ -879,11 +879,11 @@ def main():
     if os.path.isfile(vic_path):
         v = json.load(open(vic_path))
         lines += ["", "## 5. Victoria Park unknown DA (params.txt recipe)", "",
-                  "Online tracking + closure, then covariance-gated merge/EM "
-                  "rounds, finished with a Schur/chain-solver polish (the PCG "
-                  "path stalls far above this chain+landmark graph's optimum, "
-                  "EVAL §1) and one more merge/EM round on the tightened "
-                  "trajectory.", "",
+                  "Online tracking + closure every 50 frames, then the r4 "
+                  "finish: whole-trajectory segment-RANSAC closure sweeps + "
+                  "covariance-gated merges + EM re-association, one budgeted "
+                  "Schur/chain polish (the PCG path stalls far above this "
+                  "chain+landmark graph's optimum, EVAL §1).", "",
                   f"- frames: {v['frames']}, landmarks: {v['landmarks']} "
                   "(151 in the full-association ground truth)",
                   f"- ATE vs full-association optimum: "
