@@ -441,7 +441,11 @@ def main():
         assert pgo["direct_chi2_final"] <= 1.01 * pgo["chi2_control"], pgo
     # SE3 gate: graphSE3 is a chain (optimum 0, control ~1e-28) — require
     # the f32 path to cut chi2 by >=100x toward that floor (measured: it
-    # reaches ~4e-4 relative, 1.6e-10 absolute)
+    # reaches ~4e-4 relative, 1.6e-10 absolute). Finiteness is asserted
+    # explicitly: the round-4 bf16 hazard produced Inf init AND final,
+    # which sails through the relative gate (Inf <= Inf).
+    assert np.isfinite(se3["se3_chi2_init"]), se3
+    assert np.isfinite(se3["se3_chi2_final"]), se3
     assert se3["se3_chi2_final"] <= max(
         1.01 * se3["se3_chi2_control"], 0.01 * se3["se3_chi2_init"]
     ), se3

@@ -769,14 +769,17 @@ def optimize_se3_partitioned(
         )
         return poses_blk[None], trace
 
-    poses_blk, trace = jax.jit(run)(
-        jnp.asarray(part.poses_blk),
-        jnp.asarray(part.free_p_blk),
-        jnp.asarray(part.halo.send_idx),
-        jnp.asarray(part.halo.recv_pos),
-        jnp.asarray(part.pp_ij), jnp.asarray(part.pp_meas),
-        jnp.asarray(part.pp_info), jnp.asarray(part.pp_mask),
-    )
+    # f32-pinned: bf16 4x4 products explode se3_log's V^-1 (see
+    # solvers/pose_graph.optimize_se3)
+    with jax.default_matmul_precision("highest"):
+        poses_blk, trace = jax.jit(run)(
+            jnp.asarray(part.poses_blk),
+            jnp.asarray(part.free_p_blk),
+            jnp.asarray(part.halo.send_idx),
+            jnp.asarray(part.halo.recv_pos),
+            jnp.asarray(part.pp_ij), jnp.asarray(part.pp_meas),
+            jnp.asarray(part.pp_info), jnp.asarray(part.pp_mask),
+        )
     NP_full = g.poses.shape[0]
     poses_flat = np.asarray(poses_blk).reshape(-1, 7)[:NP_full]
     if len(poses_flat) < NP_full:

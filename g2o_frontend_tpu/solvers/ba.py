@@ -74,10 +74,17 @@ def _linearize(ba: BAProblem):
     return e, Jc, Jp, w, chi2
 
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters"))
 def optimize_ba(ba: BAProblem, iters: int = 10, cg_iters: int = 50,
                 lm_lambda0: float = 1e-4):
-    """LM-BA with matrix-free Schur-reduced camera solves."""
+    """LM-BA with matrix-free Schur-reduced camera solves (f32-pinned
+    matmuls: the TPU bf16 default corrupts the pose-product residuals)."""
+    with jax.default_matmul_precision("highest"):
+        return _optimize_ba_jit(ba, iters, cg_iters, lm_lambda0)
+
+
+@partial(jax.jit, static_argnames=("iters", "cg_iters"))
+def _optimize_ba_jit(ba: BAProblem, iters: int = 10, cg_iters: int = 50,
+                     lm_lambda0: float = 1e-4):
     NP, NL = ba.poses.shape[0], ba.points.shape[0]
     free_c = (ba.pose_mask & ~ba.fixed).astype(ba.poses.dtype)
     free_p = ba.point_mask.astype(ba.poses.dtype)

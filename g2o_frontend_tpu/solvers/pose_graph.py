@@ -554,8 +554,6 @@ def optimize_se2_direct(
     return g.with_poses(poses, lms), OptStats(trace, lam, k)
 
 
-@partial(jax.jit,
-         static_argnames=("iters", "cg_iters", "huber_delta", "precond"))
 def optimize_se3(
     g: PoseGraph3D,
     iters: int = 10,
@@ -568,7 +566,28 @@ def optimize_se3(
 
     precond: "jacobi" or "chain" (block-tridiagonal odometry-chain factor
     via cyclic reduction — see optimize_se2).
+
+    The whole program is pinned to f32 matmul accumulation: under the TPU
+    bf16 default, the 4x4 products feeding ``se3_log`` leave R slightly
+    off-orthogonal, (1 - cos th) rounds to zero, and the V^-1 cotangent
+    term explodes (measured on graphSE3: residual 1.7e23 / chi2 Inf at the
+    dataset init; f32-pinned: 3.57e-7).
     """
+    with jax.default_matmul_precision("highest"):
+        return _optimize_se3_jit(g, iters, cg_iters, lm_lambda0,
+                                 huber_delta, precond)
+
+
+@partial(jax.jit,
+         static_argnames=("iters", "cg_iters", "huber_delta", "precond"))
+def _optimize_se3_jit(
+    g: PoseGraph3D,
+    iters: int = 10,
+    cg_iters: int = 100,
+    lm_lambda0: float = 1e-4,
+    huber_delta: float | None = None,
+    precond: str = "jacobi",
+) -> tuple[PoseGraph3D, OptStats]:
     free_p = (g.pose_mask & ~g.fixed).astype(g.poses.dtype)
     NP = g.poses.shape[0]
     if precond == "chain":
