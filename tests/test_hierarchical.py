@@ -55,6 +55,9 @@ def _traj_err(mgr, T_gt):
 
 
 def test_coarse_fine_fewer_matvecs_same_chi2():
+    import jax
+
+    jax.clear_caches()  # 500-node SE3 solves: keep compile RAM bounded
     COLD_ITERS, CG = 25, 200
     mgr_a, _, _, T_gt = _build_map(with_merger=False)
     ref_a = MapReflector(mgr_a)

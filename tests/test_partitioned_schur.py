@@ -111,6 +111,12 @@ def test_partitioned_schur_pose_only():
 def test_partitioned_schur_victoria_reaches_control():
     """THE round-4 gate: 8-device mesh reaches the float64 control optimum
     on victoriaPark-full (VERDICT r3: every distributed run was >=5x off)."""
+    import jax
+
+    # the D=8 victoriaPark program is the biggest compile in the suite;
+    # drop every cached executable first so the 2-core host's RAM survives
+    # a full-suite run (the suite aborted in backend_compile here)
+    jax.clear_caches()
     log = read_g2o(os.path.join(DATA, "victoriaPark-full.g2o.gz"))
     g, _ = graph2d_from_log(log)
     mesh = make_mesh(8)
