@@ -492,7 +492,7 @@ def main():
         ),
         "se3_chi2_final": se3["se3_chi2_final"],
         "se3_chi2_control": se3["se3_chi2_control"],
-        "se3_chi2_init": round(se3["se3_chi2_init"], 1),
+        "se3_chi2_init": se3["se3_chi2_init"],
         "se3_lm_iters_per_s": round(se3["se3_lm_iters_per_s"], 3),
     }
     print(json.dumps(out))
