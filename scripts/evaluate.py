@@ -901,7 +901,9 @@ def main():
                   "optimization poisons association under -odometryIsGood "
                   "(ATE 44-46 m), Huber kills true closures (35.3 m), "
                   "aggressive gates over-merge (chi2 157k->487k), residual "
-                  "pruning fixes chi2 (199k->50k) but not ATE. The residual "
+                  "pruning fixes chi2 (199k->50k) but not ATE, and a "
+                  "second full tracking pass against the pass-1 map "
+                  "re-spawns duplicates (34.2 m). The residual "
                   "error is MISSING long-range association: ground-truth "
                   "association through the same solvers reaches ATE~0."]
     w1_path = os.path.join(OUT, "world1000.json")
