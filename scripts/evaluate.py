@@ -1028,10 +1028,11 @@ def main():
         lines += ["",
                   "The TRUE per-device boundary is flat-to-shrinking as the "
                   "partition theory predicts; the residual wire-byte growth "
-                  "at D=8 is per-shift padding (each ppermute round pads to "
-                  "the max pairwise count for that shift). The r2 exchange "
-                  "moved the full 85 KB pose field per direction regardless "
-                  "of D.", ""]
+                  "at D=8 is padding (ppermute rounds and all_to_all lanes "
+                  "pad to the max pairwise count). Collectives/matvec are "
+                  "FLAT at 6 under the r4 measured auto heuristic (was "
+                  "6/10/18 growing with D). The r2 exchange moved the full "
+                  "85 KB pose field per direction regardless of D.", ""]
         if h.get("weak"):
             eff = " / ".join(
                 f"{r['weak_efficiency']:.2f}" for r in h["weak"])
