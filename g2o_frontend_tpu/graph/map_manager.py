@@ -76,6 +76,13 @@ class MapRelation:
     consensus_cum_outlier_times: int = 0
     payload: dict = field(default_factory=dict)
 
+    # identity semantics: relations are graph OBJECTS. The dataclass-
+    # generated field __eq__ compares numpy arrays (ambiguous truth) the
+    # moment `rel in relations` misses the identical object — hash was
+    # already id-based, eq must match it.
+    def __eq__(self, other):
+        return self is other
+
     def __hash__(self):
         return id(self)
 

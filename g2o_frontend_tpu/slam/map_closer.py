@@ -165,6 +165,12 @@ class MapCloser:
                 or inl_all[k] < cfg.frame_min_inliers_threshold
             ):
                 continue
+            # a degenerate alignment can return a singular covariance ->
+            # Inf/NaN omega; such a candidate carries no usable constraint
+            # (reference gate analog: aligner.cpp eigenratio validity)
+            if not (np.all(np.isfinite(T_all[k]))
+                    and np.all(np.isfinite(info_all[k]))):
+                continue
             rel = MapRelation(
                 node_from=other,
                 node_to=key_node,

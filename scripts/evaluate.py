@@ -837,7 +837,12 @@ def main():
               f"- ATE vs synthetic ground truth: online **{pl['ate_rmse_m']:.3f} m**, "
               f"optimized keyframes **{pl['kf_ate_rmse_m']:.3f} m** "
               f"(max {pl['ate_max_m']:.3f} m), final chi2 "
-              f"{pl['final_chi2']:.2e}, wall {pl['wall_s']} s"]
+              f"{pl['final_chi2']:.2e}, wall {pl['wall_s']} s"] + ([
+              f"- hierarchical optimize (r4): {pl['big_nodes']} level-1 big "
+              f"nodes; in-loop solves spent {pl['hier_cg_coarse']} coarse + "
+              f"{pl['hier_cg_fine']} fine CG matvecs (coarse matvecs are "
+              "~list_size^2 cheaper; graph/reflector.py "
+              "optimize_hierarchical)"] if "big_nodes" in pl else [])
     to = results.get("pwn_odometry_tum")
     if to: lines += ["", "### PWN odometry on a TUM-format sequence "
               "(reference CLI protocol)", "",
