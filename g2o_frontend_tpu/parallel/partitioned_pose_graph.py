@@ -568,6 +568,8 @@ class PartitionedSE3(NamedTuple):
     pp_meas: np.ndarray  # (D, E, 7)
     pp_info: np.ndarray  # (D, E, 6, 6)
     pp_mask: np.ndarray  # (D, E) bool
+    pp_chain: np.ndarray  # (D, E) bool: block-internal consecutive edges
+    pp_bnd: np.ndarray  # (D, E) bool: right-boundary consecutive edge
     n_poses: int
     halo: HaloSpec
 
@@ -608,6 +610,8 @@ def partition_se3(g, n_dev: int) -> PartitionedSE3:
     pp_meas_l[..., 6] = 1.0
     pp_info_l = np.zeros((n_dev, E, 6, 6), np.float32)
     pp_mask_l = np.zeros((n_dev, E), bool)
+    pp_chain_l = np.zeros((n_dev, E), bool)
+    pp_bnd_l = np.zeros((n_dev, E), bool)
     pp_meas = np.asarray(g.pp_meas)
     pp_info = np.asarray(g.pp_info)
 
@@ -627,9 +631,16 @@ def partition_se3(g, n_dev: int) -> PartitionedSE3:
             pp_meas_l[s, r] = pp_meas[k]
             pp_info_l[s, r] = pp_info[k]
             pp_mask_l[s, r] = True
+            pp_chain_l[s, r] = (
+                pp_ij[k, 1] == pp_ij[k, 0] + 1
+                and lo <= pp_ij[k, 0] < lo + B - 1
+            )
+            pp_bnd_l[s, r] = (
+                pp_ij[k, 1] == pp_ij[k, 0] + 1 and pp_ij[k, 0] == lo + B - 1
+            )
     return PartitionedSE3(
         poses_blk, free_p_blk, ghost_ids,
-        pp_ij_l, pp_meas_l, pp_info_l, pp_mask_l, NP,
+        pp_ij_l, pp_meas_l, pp_info_l, pp_mask_l, pp_chain_l, pp_bnd_l, NP,
         build_halo_spec(ghosts, B, n_dev, G),
     )
 
@@ -640,9 +651,21 @@ def optimize_se3_partitioned(
     iters: int = 10,
     cg_iters: int = 100,
     lm_lambda0: float = 1e-4,
+    precond: str = "jacobi",
 ):
-    """SE3 twin of `optimize_se2_partitioned`: pose blocks + ghost halos."""
+    """SE3 twin of `optimize_se2_partitioned`: pose blocks + ghost halos.
+
+    precond: "jacobi" (block-diagonal) or "spike" — the distributed chain
+    preconditioner of parallel/partitioned_schur.py in its SE3 form: each
+    device cyclic-reduction-factors its local 6x6 block tridiagonal and the
+    boundary couplings form the replicated SPIKE interface system
+    (parallel/spike.py). On chain-dominated SE3 graphs (keyframe odometry,
+    the PWN-SLAM reflector output) CG then converges in a handful of
+    iterations, mirroring the single-device chain preconditioner's
+    graphSE3 win (18 matvecs vs 480).
+    """
     from ..graph.store import PoseGraph3D
+    from .spike import spike_factor, spike_solve
 
     n_dev = mesh.devices.size
     part = partition_se3(g, n_dev)
@@ -650,6 +673,9 @@ def optimize_se3_partitioned(
     G = part.ghost_ids.shape[1]
     spec = part.halo
     dtype = jnp.float32
+    free_next0 = np.zeros((n_dev, 1), np.float32)
+    for s_ in range(n_dev - 1):
+        free_next0[s_, 0] = part.free_p_blk[s_ + 1, 0]
 
     shard = P(EDGE_AXIS)
     rep = P()
@@ -657,16 +683,18 @@ def optimize_se3_partitioned(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(shard,) * 8,
+        in_specs=(shard,) * 11,
         out_specs=(shard, rep),
     )
-    def run(poses_blk, free_p_blk, h_send, h_recv, pp_ij, pp_meas, pp_info,
-            pp_mask):
+    def run(poses_blk, free_p_blk, free_next0, h_send, h_recv, pp_ij,
+            pp_meas, pp_info, pp_mask, pp_chain, pp_bnd):
         poses_blk = poses_blk[0]
         free_p = free_p_blk[0]
+        fnext0 = free_next0[0, 0]
         sidx, rpos = h_send[0], h_recv[0]
         pp_ij_l, pp_meas_l = pp_ij[0], pp_meas[0]
         pp_info_l, pp_mask_l = pp_info[0], pp_mask[0]
+        pp_chain_l, pp_bnd_l = pp_chain[0], pp_bnd[0]
 
         def gather_aug(v_blk):
             gh = halo_gather(v_blk, sidx, rpos, spec, EDGE_AXIS)
@@ -742,17 +770,43 @@ def optimize_se3_partitioned(
             eye6 = jnp.eye(6, dtype=dtype)
             Dp_d = (1.0 + lam) * Dp + 1e-6 * eye6
             Dp_d = jnp.where(free_p[:, None, None] > 0, Dp_d, eye6)
-            Dp_inv = jnp.linalg.inv(Dp_d)
+            if precond == "spike":
+                # distributed chain preconditioner (see docstring)
+                ci = jnp.where(pp_chain_l, pp_ij_l[:, 0], B - 1)
+                U_chain = jax.ops.segment_sum(
+                    jnp.einsum(
+                        "kdi,kde,kej->kij", lin.Ji_pp,
+                        lin.w_pp * pp_chain_l[:, None, None], lin.Jj_pp,
+                    ),
+                    ci, B,
+                )
+                fnext = jnp.concatenate([free_p[1:], jnp.zeros(1, dtype)])
+                U_pre = U_chain * (free_p * fnext)[:, None, None]
+                L_pre = jnp.concatenate(
+                    [jnp.zeros((1, 6, 6), dtype),
+                     jnp.swapaxes(U_pre, 1, 2)[:-1]]
+                )
+                U_bnd = jnp.einsum(
+                    "kdi,kde,kej->ij", lin.Ji_pp,
+                    lin.w_pp * pp_bnd_l[:, None, None], lin.Jj_pp,
+                ) * (free_p[B - 1] * fnext0)
+                sf = spike_factor(L_pre, Dp_d, U_pre, U_bnd, EDGE_AXIS,
+                                  n_dev)
 
-            def precond(r):
-                return (jnp.einsum("kij,kj->ki", Dp_inv, r[0]),)
+                def apply_pre(r):
+                    return (spike_solve(sf, r[0], EDGE_AXIS),)
+            else:
+                Dp_inv = jnp.linalg.inv(Dp_d)
+
+                def apply_pre(r):
+                    return (jnp.einsum("kij,kj->ki", Dp_inv, r[0]),)
 
             def tree_dot(a, b):
                 return jax.lax.psum(jnp.vdot(a[0], b[0]), EDGE_AXIS)
 
             b = (-gp * free_p[:, None],)
-            (dp_,), _, _ = pcg(hvp, b, precond, max_iters=cg_iters,
-                               rtol=1e-8, tree_dot=tree_dot)
+            (dp_,), cg_k, _ = pcg(hvp, b, apply_pre, max_iters=cg_iters,
+                                  rtol=1e-8, tree_dot=tree_dot)
             new_poses = apply_update(poses_blk, dp_ * free_p[:, None])
             new_chi2 = chi2_of(new_poses)
             accept = new_chi2 < chi2
@@ -775,10 +829,12 @@ def optimize_se3_partitioned(
         poses_blk, trace = jax.jit(run)(
             jnp.asarray(part.poses_blk),
             jnp.asarray(part.free_p_blk),
+            jnp.asarray(free_next0),
             jnp.asarray(part.halo.send_idx),
             jnp.asarray(part.halo.recv_pos),
             jnp.asarray(part.pp_ij), jnp.asarray(part.pp_meas),
             jnp.asarray(part.pp_info), jnp.asarray(part.pp_mask),
+            jnp.asarray(part.pp_chain), jnp.asarray(part.pp_bnd),
         )
     NP_full = g.poses.shape[0]
     poses_flat = np.asarray(poses_blk).reshape(-1, 7)[:NP_full]

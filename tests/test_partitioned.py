@@ -178,3 +178,40 @@ def test_partitioned_se3_matches_single():
     r = float(np.asarray(stats.chi2)[-1])
     s = float(np.asarray(trace)[-1])
     assert abs(s - r) / max(r, 1e-9) < 0.05, (r, s)
+
+
+@pytest.mark.skipif(not os.path.isdir(DATA), reason="reference datasets missing")
+def test_partitioned_se3_spike_precond_graphse3():
+    """Distributed SE3 SPIKE/chain preconditioner (r4): graphSE3 (pure
+    chain) must collapse to its floor with only 4 CG iterations per LM step
+    on the 8-device mesh — the preconditioner IS the damped Hessian there,
+    mirroring the single-device chain result (18 matvecs vs 480)."""
+    from g2o_frontend_tpu.graph.store import graph3d_from_log
+    from g2o_frontend_tpu.parallel.partitioned_pose_graph import (
+        optimize_se3_partitioned)
+
+    log = read_g2o(os.path.join(DATA, "graphSE3.g2o"))
+    g, _ = graph3d_from_log(log)
+    mesh = make_mesh(8)
+    _, tr = optimize_se3_partitioned(g, mesh, iters=2, cg_iters=4,
+                                     precond="spike")
+    t = np.asarray(tr)
+    assert t[-1] <= 1e-3 * t[0], (t[0], t[-1])
+
+
+def test_partitioned_se3_spike_beats_jacobi_on_chain():
+    """On a chain-dominated noisy SE3 graph at a tight CG budget, the
+    distributed SPIKE chain preconditioner lands meaningfully lower than
+    block-Jacobi (measured: 2.18x vs 2.72x the float64 control)."""
+    from tests.test_control import _se3_ring
+    from g2o_frontend_tpu.parallel.partitioned_pose_graph import (
+        optimize_se3_partitioned)
+
+    g = _se3_ring(n=256, n_loop=2, noise=0.02)
+    mesh = make_mesh(8)
+    _, tr_j = optimize_se3_partitioned(g, mesh, iters=10, cg_iters=10)
+    _, tr_s = optimize_se3_partitioned(g, mesh, iters=10, cg_iters=10,
+                                       precond="spike")
+    cj = float(np.asarray(tr_j)[-1])
+    cs = float(np.asarray(tr_s)[-1])
+    assert cs < 0.9 * cj, (cj, cs)
