@@ -1059,7 +1059,10 @@ def main():
             "4-device mesh lands >20% lower chi2 at the same LM/CG budget "
             "than block-Jacobi, and the single-device SE3 variant cuts "
             "graphSE3 to 18 total CG matvecs from 480 (matvecs are the "
-            "halo exchanges, so this is the number that scales).", "",
+            "halo exchanges, so this is the number that scales). r4: the "
+            "SE3 partitioned solver gets the full distributed version "
+            "(precond=\"spike\", parallel/spike.py) — graphSE3 collapses "
+            "to its floor at 4 CG/LM on the 8-device mesh.", "",
             "- produced by: scripts/bench_weak_scaling.py [--strong]",
             "- parity: tests/test_partitioned.py + tests/test_halo.py "
             "(exchange vs numpy oracles), dryrun_multichip "
