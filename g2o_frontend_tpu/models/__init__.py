@@ -97,11 +97,52 @@ def pwn_rgbd_slam(closer_overrides: dict | None = None, **kw: Any):
     return tracker, closer, reflector
 
 
-def tracker2d(**kw: Any):
-    """2D unknown-data-association landmark SLAM (`FeatureTracker2D`)."""
+#: datasets/2D/params.txt command lines as named config presets (values
+#: measured/tuned in EVAL §5; see scripts/evaluate.py for the full drivers)
+TRACKER2D_RECIPES = {
+    # tracker_test all-default flags; the every-50 global+merge cadence
+    # lives in the driver (EVAL §5: 593 landmarks vs the reference's 589)
+    "world1000-dense-highnoise": dict(
+        incremental_ransac_inlier_threshold=0.3,
+        local_map_size=5,
+        optimize_each_n=5,
+        min_landmark_creation_frames=3,
+    ),
+    # params.txt world-2000 recipe
+    "world2000": dict(
+        min_landmark_creation_frames=1,
+        incremental_ransac_inlier_threshold=0.5,
+        loop_ransac_inlier_threshold=0.2,
+        loop_landmark_merge_distance=0.5,
+        local_map_size=10,
+        optimize_each_n=20,
+    ),
+    # params.txt victoria recipe (incl -odometryIsGood)
+    "victoria": dict(
+        loop_landmark_merge_distance=2.0,
+        local_map_size=50,
+        incremental_guess_max_feature_distance=2.0,
+        incremental_ransac_inlier_threshold=1.0,
+        loop_guess_max_feature_distance=60.0,
+        loop_ransac_inlier_threshold=2.0,
+        odometry_is_good=True,
+        global_optimize_iters=30,
+        cg_iters=150,
+    ),
+}
+
+
+def tracker2d(recipe: str | None = None, **kw: Any):
+    """2D unknown-data-association landmark SLAM (`FeatureTracker2D`).
+
+    recipe: optional params.txt preset name (TRACKER2D_RECIPES); explicit
+    keyword overrides win over the preset values.
+    """
     from ..slam.feature_tracker import FeatureTracker2D, Tracker2DConfig
 
-    return FeatureTracker2D(Tracker2DConfig(**kw) if kw else Tracker2DConfig())
+    base = dict(TRACKER2D_RECIPES[recipe]) if recipe else {}
+    base.update(kw)
+    return FeatureTracker2D(Tracker2DConfig(**base) if base else Tracker2DConfig())
 
 
 def grid_slam(**kw: Any):

@@ -41,3 +41,15 @@ def test_2d_families_ingest():
     obs = np.array([[1.0, 0.5], [2.0, -0.5]], np.float32)
     trk.process_frame(np.zeros(3, np.float32), obs)
     trk.process_frame(np.array([0.1, 0.0, 0.0], np.float32), obs)
+
+
+def test_tracker2d_recipes():
+    """params.txt recipes are library presets (models.TRACKER2D_RECIPES)."""
+    from g2o_frontend_tpu import models
+
+    for name in ("victoria", "world2000", "world1000-dense-highnoise"):
+        tr = models.tracker2d(recipe=name)
+        assert tr.cfg is not None
+    tr = models.tracker2d(recipe="victoria", cg_iters=99)
+    assert tr.cfg.cg_iters == 99  # overrides win
+    assert tr.cfg.odometry_is_good
