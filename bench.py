@@ -323,6 +323,7 @@ def bench_distributed_schur(n_dev=8):
     env = dict(os.environ)
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_dev}"
     env.pop("JAX_PLATFORMS", None)
+    proc = None
     try:
         proc = subprocess.run(
             [_sys.executable, "-c", code], env=env, capture_output=True,
@@ -331,7 +332,13 @@ def bench_distributed_schur(n_dev=8):
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
         return json.loads(line)
-    except Exception:
+    except Exception as exc:
+        # a crash here silently skips the distributed-accuracy gate
+        # (ADVICE r4) — make the skip loudly visible
+        print(f"[bench] distributed-schur subprocess FAILED: {exc!r}",
+              file=_sys.stderr)
+        if proc is not None:
+            print(proc.stderr[-2000:], file=_sys.stderr)
         return None
 
 

@@ -23,6 +23,21 @@ def _T_to_pose7(T):
     return np.concatenate([T[:3, 3], q[1:], q[:1]])
 
 
+def _adjoint_se3(T):
+    """SE3 adjoint (6x6, [t-block; r-block] ordering matching the
+    right-multiplied twist chart of solvers.pose_graph.linearize_se3):
+    Ad = [[R, skew(t) R], [0, R]]."""
+    T = np.asarray(T, np.float64)
+    R = T[:3, :3]
+    t = T[:3, 3]
+    sk = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    Ad = np.zeros((6, 6))
+    Ad[:3, :3] = R
+    Ad[:3, 3:] = sk @ R
+    Ad[3:, 3:] = R
+    return Ad
+
+
 def _pose7_to_T(p):
     T = np.eye(4)
     T[:3, :3] = np.asarray(lie.quat2mat(jnp.asarray(p[3:6], jnp.float32)))
@@ -167,8 +182,14 @@ class MapReflector:
                 continue
             O_a = T_old_inv[A] @ r.node_from.transform
             O_b = T_old_inv[B] @ r.node_to.transform
+            # the lifted measurement frame is rotated by O_b: transport the
+            # information with the adjoint, info' = Ad(O_b)^-T info
+            # Ad(O_b)^-1 (ADVICE r4 — without it rotated closures are
+            # mis-weighted in the coarse solve)
+            Ad_inv = _adjoint_se3(np.linalg.inv(O_b))
+            info_l = Ad_inv.T @ np.asarray(r.information, np.float64) @ Ad_inv
             rels.append((A, B, O_a @ r.transform @ np.linalg.inv(O_b),
-                         r.information))
+                         info_l))
 
         gauge = group_of(gauge_node.seq) if gauge_node is not None else 0
         g1 = self._pack(anchors, rels, gauge)

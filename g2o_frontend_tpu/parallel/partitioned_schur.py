@@ -78,6 +78,18 @@ def optimize_se2_schur_partitioned(
     extra replicated psum floats this solver adds over the block-Jacobi one.
     """
     n_dev = mesh.devices.size
+    # The Woodbury arrow replicates a (2NL)^2 landmark matrix K and dense
+    # per-device (B, 3, 2NL) V slices — the few-landmarks regime of graphs
+    # like victoriaPark (NL=151) / world1000 (NL~600). Fail loudly instead
+    # of silently exploding memory/compile time on landmark-rich graphs
+    # (ADVICE r4); use the edge-sharded block-Jacobi path there.
+    _nl = int(g.landmarks.shape[0])
+    if _nl > 4096:
+        raise ValueError(
+            f"optimize_se2_schur_partitioned replicates a ({2 * _nl})^2 "
+            "Woodbury arrow; NL > 4096 is out of its regime — use "
+            "parallel.partitioned_pose_graph (block-Jacobi) instead"
+        )
     part = partition_se2(g, n_dev, halo_mode=halo_mode)
     B = part.poses_blk.shape[1]
     G = part.ghost_ids.shape[1]

@@ -159,6 +159,25 @@ class Tracker2DConfig:
     # it the gate degenerates to a eucl_cap-radius accept-anything long
     # after a refresh (measured: ATE 35.8 m, worse than raw odometry)
     mahal_eucl_cap: float = 10.0
+    # Per-frame relocalization closure (the reference's
+    # LoopClosureCandidateDetector + FrameClusterer,
+    # ``feature_tracker_closure.h:9-202``): a single frame's observation
+    # set is the only constellation that is PERFECTLY rigid under drift, so
+    # it is matched pose-free (distance-consistent hypotheses) against the
+    # old map within a drift-budget radius; two consecutive frames must
+    # imply the same world correction before the closure is accepted.
+    frame_closure: bool = False
+    closure_min_obs: int = 5
+    closure_old_age: int = 150  # frames unseen before a landmark is "old"
+    closure_drift_base: float = 10.0  # m, search radius floor
+    closure_drift_rate: float = 0.05  # m per frame since last localization
+    closure_drift_cap: float = 100.0
+    closure_rot_gate: float = 1.2  # rad, hypothesis gate around prediction
+    closure_dist_tol: float = 0.4
+    closure_inlier_threshold: float = 1.0
+    closure_min_inliers: int = 5
+    closure_cluster_tol: float = 3.0  # consecutive-proposal agreement (m)
+    closure_cluster_rot_tol: float = 0.15
     # minimum graph capacities: reserving the final size up front means the
     # jitted global solvers compile ONCE for the whole run instead of at
     # every capacity doubling (long-run wall-clock is compile-dominated on
@@ -187,6 +206,15 @@ def _se2_compose_np(a, b):
     )
 
 
+def _se2_rel_np(a, b):
+    """SE2 relative chart a^{-1} b (float64 in, float64 out)."""
+    c, s = np.cos(a[2]), np.sin(a[2])
+    d = b[:2] - a[:2]
+    dth = (b[2] - a[2] + np.pi) % (2 * np.pi) - np.pi
+    return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1], dth],
+                    np.float64)
+
+
 def _se2_apply_np(x, pts):
     c, s = np.cos(x[2]), np.sin(x[2])
     R = np.array([[c, -s], [s, c]], np.float32)
@@ -213,6 +241,11 @@ class FeatureTracker2D:
         # (None until refresh_landmark_covariances() runs)
         self.lm_cov: np.ndarray | None = None
         self._cov_frame = 0  # frame at last covariance refresh
+        # per-frame relocalization state
+        self.lm_last_seen = np.zeros(0, np.int32)
+        self._drift_frames = 0  # frames since last accepted relocalization
+        self._pending_closure: tuple | None = None  # (frame, world corr)
+        self.n_relocalizations = 0  # accepted frame-closure count
 
     # -- graph snapshot -----------------------------------------------------
     def graph(self, window_fix_before: int | None = None):
@@ -315,9 +348,24 @@ class FeatureTracker2D:
             )
         pose_idx = len(self.poses) - 1
 
+        # 2a. per-frame relocalization (drift-tolerant closure proposal)
+        forced: dict[int, int] = {}
+        self._drift_frames += 1
+        if (
+            cfg.frame_closure
+            and O >= cfg.closure_min_obs
+            and self.lm_alive.any()
+        ):
+            reloc = self._propose_frame_closure(pose, obs_local)
+            if reloc is not None:
+                pose, forced = reloc
+                self.poses[-1] = pose
+
         matched_lm = np.full(O, -1, np.int64)
         if O and self.lm_alive.any():
             matched_lm = self._associate(pose, obs_local)
+        for oi, li in forced.items():
+            matched_lm[oi] = li
 
         # 3. record observation edges for matches
         for oi in range(O):
@@ -325,6 +373,7 @@ class FeatureTracker2D:
             if li >= 0:
                 self.obs_edges.append((pose_idx, int(li), obs_local[oi], obs_info[oi]))
                 self.lm_seen[li] += 1
+                self.lm_last_seen[li] = self.frame
 
         # 4. pending-track management for unmatched observations
         self._update_pending(pose, pose_idx, obs_local, obs_info, matched_lm)
@@ -335,6 +384,180 @@ class FeatureTracker2D:
             self.optimize(local=True)
 
         return matched_lm
+
+    # -- per-frame relocalization ------------------------------------------
+    def _propose_frame_closure(self, pose_pred, obs_local):
+        """Match THIS frame's observation constellation (robot frame,
+        rigid by construction) against the old map, pose-free.
+
+        Returns (corrected_pose (3,), {obs_idx: landmark_idx}) when two
+        consecutive eligible frames imply the same world correction
+        (FrameClusterer acceptance), else None.
+        """
+        from .constellation import match_constellations
+
+        cfg = self.cfg
+        R = min(
+            cfg.closure_drift_base + cfg.closure_drift_rate
+            * self._drift_frames,
+            cfg.closure_drift_cap,
+        )
+        old = np.where(
+            self.lm_alive
+            & (self.frame - self.lm_last_seen > cfg.closure_old_age)
+        )[0]
+        if len(old) < cfg.closure_min_inliers:
+            return None
+        sense_r = float(np.linalg.norm(obs_local, axis=1).max())
+        d = np.linalg.norm(
+            self.landmarks[old] - np.asarray(pose_pred[:2]), axis=1
+        )
+        B_idx = old[d < R + sense_r + 5.0]
+        if len(B_idx) < cfg.closure_min_inliers:
+            return None
+        m = match_constellations(
+            obs_local,
+            self.landmarks[B_idx],
+            dist_tol=cfg.closure_dist_tol,
+            inlier_threshold=cfg.closure_inlier_threshold,
+            min_inliers=cfg.closure_min_inliers,
+            min_pair_sep=1.0,
+            max_pair_sep=2.0 * sense_r + 1.0,
+            trans_gate=R,
+            rot_gate=cfg.closure_rot_gate,
+            prior=np.asarray(pose_pred, np.float64),
+            seed=self.frame,
+        )
+        if not m.ok:
+            return None
+        T = np.asarray(m.transform, np.float32)
+        corr = np.array(
+            [T[0] - pose_pred[0], T[1] - pose_pred[1],
+             (T[2] - pose_pred[2] + np.pi) % (2 * np.pi) - np.pi],
+            np.float64,
+        )
+        prev = self._pending_closure
+        self._pending_closure = (self.frame, corr)
+        if prev is None or self.frame - prev[0] > 3:
+            return None
+        dcorr = corr - prev[1]
+        if (
+            np.hypot(dcorr[0], dcorr[1]) > cfg.closure_cluster_tol
+            or abs((dcorr[2] + np.pi) % (2 * np.pi) - np.pi)
+            > cfg.closure_cluster_rot_tol
+        ):
+            return None
+        self._pending_closure = None
+        self._drift_frames = 0
+        self.n_relocalizations += 1
+        pairs = {int(ia): int(B_idx[ib]) for ia, ib in m.pairs}
+        return T, pairs
+
+    def propose_window_closure(self, window=60, dist_tol=0.4,
+                               inlier_threshold=1.0, min_inliers=6,
+                               old_age=150, drift_base=10.0,
+                               drift_rate=0.05, drift_cap=100.0,
+                               rot_gate=1.2, apply=True):
+        """Drift-tolerant ONLINE closure: match the recent window's
+        constellation against the old map, pose-free, and merge matches.
+
+        Victoria-style logs see at most ~2 landmarks per frame, so the
+        rigid matching unit is the last `window` poses' observation set
+        (near-rigid because the tracking loop keeps re-solving it), played
+        against landmarks unseen for `old_age` frames within a drift-budget
+        radius (`drift_base + drift_rate * frames_since_localized`). The
+        hypothesis space is gated around identity by that budget — the
+        pose-free matching lives INSIDE the gate, which is what makes the
+        quasi-regular tree pattern unambiguous (measured: precision 0.21
+        without the gate). Callers should follow an accepted merge with a
+        validated solve and roll back on a chi2 jump (the
+        ``map_closer`` consensus pattern). Returns merged pair count.
+        """
+        from .constellation import match_constellations
+
+        n = len(self.poses)
+        start = max(0, n - window)
+        acc: dict[int, list] = {}
+        for (p, l, z, _w) in self.obs_edges:
+            if p >= start and self.lm_alive[l]:
+                acc.setdefault(int(l), []).append(
+                    _se2_apply_np(
+                        np.asarray(self.poses[p], np.float32),
+                        np.asarray(z, np.float32)[None],
+                    )[0]
+                )
+        if len(acc) < min_inliers:
+            return 0
+        ids_a = np.array(sorted(acc), np.int64)
+        pos_a = np.stack([np.mean(acc[int(l)], 0) for l in ids_a])
+        R = min(drift_base + drift_rate * self._drift_frames, drift_cap)
+        in_window = set(ids_a.tolist())
+        old = np.array(
+            [
+                l for l in np.where(self.lm_alive)[0]
+                if l not in in_window
+                and self.frame - int(self.lm_last_seen[l]) > old_age
+            ],
+            np.int64,
+        )
+        if len(old) < min_inliers:
+            return 0
+        centroid = pos_a.mean(0)
+        span = float(np.linalg.norm(pos_a - centroid, axis=1).max())
+        d = np.linalg.norm(self.landmarks[old] - centroid, axis=1)
+        B_idx = old[d < R + span + 5.0]
+        if len(B_idx) < min_inliers:
+            return 0
+        m = match_constellations(
+            pos_a,
+            self.landmarks[B_idx],
+            dist_tol=dist_tol,
+            inlier_threshold=inlier_threshold,
+            min_inliers=min_inliers,
+            min_pair_sep=1.0,
+            max_pair_sep=2.0 * span + 5.0,
+            trans_gate=R,
+            rot_gate=rot_gate,
+            seed=self.frame,
+        )
+        if not m.ok:
+            return None if not apply else 0
+        pairs = [
+            (int(ids_a[ia]), int(B_idx[ib]))
+            for ia, ib in m.pairs
+            if int(ids_a[ia]) != int(B_idx[ib])
+            and self.lm_alive[int(ids_a[ia])]
+            and self.lm_alive[int(B_idx[ib])]
+        ]
+        if not apply:
+            # transform + window range let the absorber warp the trajectory
+            # into the closure's basin before solving (the fine solver
+            # alone converges to a kinked stationary point on large
+            # corrections — measured chi2 4e5 vs true optimum ~1e2)
+            return {"pairs": pairs,
+                    "transform": np.asarray(m.transform, np.float64),
+                    "window_start": start}
+        merged = 0
+        for la, lb in pairs:
+            if self.lm_alive[la] and self.lm_alive[lb]:
+                self._merge_landmarks(lb, la)  # keep the old landmark
+                merged += 1
+        if merged:
+            self.n_relocalizations += 1
+        return merged
+
+    def obs_edge_chi2(self):
+        """Per-observation-edge chi2 at the current estimate (E,)."""
+        poses = np.asarray(self.poses, np.float64)
+        out = np.zeros(len(self.obs_edges))
+        for k, (p, l, z, w) in enumerate(self.obs_edges):
+            xp = poses[p]
+            c, s = np.cos(xp[2]), np.sin(xp[2])
+            dd = self.landmarks[l] - xp[:2]
+            e = np.array([c * dd[0] + s * dd[1],
+                          -s * dd[0] + c * dd[1]]) - z
+            out[k] = float(e @ w @ e)
+        return out
 
     # -- association --------------------------------------------------------
     def _associate(self, pose, obs_local):
@@ -356,12 +579,16 @@ class FeatureTracker2D:
         alive_pad[:L] = self.lm_alive
         if self.lm_cov is not None:
             # Mahalanobis gate: S_l = C_ll + R + sigma_drift^2 I, with the
-            # drift term growing since the last covariance refresh
+            # drift term growing since the last covariance refresh. R is
+            # derived from the dataset's observation information matrices
+            # (ADVICE r4: a hardcoded R mis-calibrates the chi2(2) gate on
+            # datasets with different sensor noise).
             sig2 = min(
                 cfg.mahal_drift_sigma * max(self.frame - self._cov_frame, 1),
                 cfg.mahal_drift_cap,
             ) ** 2
-            S = np.tile((0.05 ** 2 + sig2) * np.eye(2, dtype=np.float32),
+            r2 = 1.0 / max(float(cfg.obs_default_info), 1e-6)
+            S = np.tile((r2 + sig2) * np.eye(2, dtype=np.float32),
                         (LC, 1, 1))
             ncov = min(len(self.lm_cov), L)
             S[:ncov] += self.lm_cov[:ncov]
@@ -458,6 +685,9 @@ class FeatureTracker2D:
                 )
                 self.lm_alive = np.append(self.lm_alive, True)
                 self.lm_seen = np.append(self.lm_seen, len(p["hist"]))
+                self.lm_last_seen = np.append(
+                    self.lm_last_seen, np.int32(self.frame)
+                )
                 for (pi, z, w) in p["hist"]:
                     self.obs_edges.append((pi, li, z, w))
                 promoted.append(id(p))
@@ -482,6 +712,23 @@ class FeatureTracker2D:
         cfg = self.cfg
         iters = cfg.global_optimize_iters if iters is None else iters
         g = self.graph()
+        if cfg.global_solver == "control":
+            # float64 exact LM (host sparse Cholesky). In-loop strong solves
+            # are what keep drift bounded enough for association gates to
+            # work on rotation-burst odometry (Victoria: 197 steps with
+            # >0.1 rad heading error — a 5-iter PCG solve leaves kinks that
+            # -odometryIsGood composes from, the measured r4 dead end; the
+            # exact solve has no kink to compose from).
+            from ..solvers.control import control_optimize_se2
+
+            ctl = control_optimize_se2(self.graph(), max_iters=iters)
+            n = len(self.poses)
+            for i in range(n):
+                self.poses[i] = np.asarray(ctl["poses"][i], np.float32)
+            nl = len(self.landmarks)
+            if nl:
+                self.landmarks = np.asarray(ctl["landmarks"][:nl], np.float32)
+            return float(ctl["chi2"])
         if cfg.global_solver == "schur":
             # Schur + chain-preconditioned LM (solvers/schur_pcg.py):
             # reaches the control optimum where block-Jacobi PCG stalls,
@@ -772,6 +1019,215 @@ class FeatureTracker2D:
                         merged_total += 1
         return merged_total
 
+    def close_loops_constellation(self, segment=250, dist_tol=0.3,
+                                  inlier_threshold=1.0, min_inliers=6,
+                                  min_pair_sep=2.0, max_pair_sep=40.0,
+                                  require_anchor_ratio=0.0):
+        """Drift-tolerant loop-closure proposal via constellation matching.
+
+        The pose-gated sweeps (`close_loops`, `close_loops_global`) cannot
+        propose a revisit once drift exceeds their gates. This sweep matches
+        landmark *patterns* with no pose prior (the
+        ``graph_merge/graph_matcher.h:19-66`` role, candidate detection of
+        ``feature_tracker_closure.h:9-202``): the trajectory is cut into
+        `segment`-pose stretches, each stretch's constellation is rebuilt
+        from its OWN observations (locally rigid under drift), and every
+        segment pair is rigidly matched through pairwise-distance-consistent
+        hypotheses scored in one batched kernel. Accepted matches merge the
+        corresponding landmark pairs; callers should `reassociate` +
+        `optimize` afterwards (the existing verification EM).
+
+        `require_anchor_ratio` > 0 additionally demands that a fraction of
+        the supporting correspondences are already-shared landmarks (anchor
+        evidence) before accepting brand-new merges from a pair.
+
+        Returns the number of merged landmark pairs.
+        """
+        from .constellation import (match_constellations,
+                                    segment_constellations)
+
+        segs = segment_constellations(
+            self.poses, self.obs_edges, self.lm_alive, segment
+        )
+        merged = 0
+        for j in range(len(segs)):
+            ids_a, pos_a = segs[j]
+            if len(ids_a) < min_inliers:
+                continue
+            for i in range(j):
+                ids_b, pos_b = segs[i]
+                if len(ids_b) < min_inliers:
+                    continue
+                m = match_constellations(
+                    pos_a,
+                    pos_b,
+                    dist_tol=dist_tol,
+                    inlier_threshold=inlier_threshold,
+                    min_inliers=min_inliers,
+                    min_pair_sep=min_pair_sep,
+                    max_pair_sep=max_pair_sep,
+                    seed=i * 10007 + j,
+                )
+                if not m.ok:
+                    continue
+                new_pairs = [
+                    (int(ids_a[ia]), int(ids_b[ib]))
+                    for ia, ib in m.pairs
+                    if int(ids_a[ia]) != int(ids_b[ib])
+                ]
+                n_anchor = m.n_inliers - len(new_pairs)
+                if not new_pairs:
+                    continue
+                if require_anchor_ratio > 0.0 and (
+                    n_anchor < require_anchor_ratio * m.n_inliers
+                ):
+                    continue
+                for la, lb in new_pairs:
+                    if (
+                        la != lb
+                        and self.lm_alive[la]
+                        and self.lm_alive[lb]
+                    ):
+                        # keep the earlier-created landmark
+                        keep, drop = (lb, la) if lb < la else (la, lb)
+                        self._merge_landmarks(keep, drop)
+                        merged += 1
+        return merged
+
+    def close_loops_hierarchical(self, segment=250, dist_tol=0.3,
+                                 inlier_threshold=1.0, min_inliers=6,
+                                 min_pair_sep=2.0, max_pair_sep=40.0,
+                                 coarse_iters=100,
+                                 odom_info=(0.1, 0.1, 1.0),
+                                 closure_info=(25.0, 25.0, 100.0)):
+        """Constellation proposal + coarse-to-fine drift absorption.
+
+        `close_loops_constellation` alone leaves the fine landmark graph in
+        a kinked local minimum: merging one tree pair across tens of meters
+        of drift while the surrounding duplicates stay separate gives LM a
+        27 m correction it cannot absorb (measured: chi2 stalls ~10x above
+        the reachable basin). This method does what the reference's
+        hierarchical layers do (``map_core.h`` MapNodeAlias levels; the
+        repo's ``graph/reflector.optimize_hierarchical`` for SE3): every
+        accepted constellation match becomes a *segment-level* SE2 closure
+        edge; the tiny coarse pose graph (one anchor per segment) is solved
+        exactly in float64, each segment is rigidly warped by its anchor's
+        correction, landmarks are re-anchored from the corrected poses, and
+        only then are the matched landmark pairs merged — handing the fine
+        solver an initialization inside the right basin.
+
+        Returns the number of merged landmark pairs (0 = no accepted match).
+        """
+        from .constellation import (match_constellations,
+                                    segment_constellations)
+        from ..graph.store import PoseGraph2D
+        from ..solvers.control import control_optimize_se2
+
+        segs = segment_constellations(
+            self.poses, self.obs_edges, self.lm_alive, segment
+        )
+        S = len(segs)
+        n = len(self.poses)
+        if S < 2:
+            return 0
+        matches = []  # (i, j, T_world, [(lm_a, lm_b)])
+        for j in range(S):
+            ids_a, pos_a = segs[j]
+            if len(ids_a) < min_inliers:
+                continue
+            for i in range(j):
+                ids_b, pos_b = segs[i]
+                if len(ids_b) < min_inliers:
+                    continue
+                m = match_constellations(
+                    pos_a, pos_b, dist_tol=dist_tol,
+                    inlier_threshold=inlier_threshold,
+                    min_inliers=min_inliers, min_pair_sep=min_pair_sep,
+                    max_pair_sep=max_pair_sep, seed=i * 10007 + j,
+                )
+                if not m.ok:
+                    continue
+                pairs = [
+                    (int(ids_a[ia]), int(ids_b[ib])) for ia, ib in m.pairs
+                ]
+                matches.append((i, j, np.asarray(m.transform, np.float64),
+                                pairs))
+        new_pairs_total = sum(
+            1 for (_, _, _, ps) in matches for (a, b) in ps if a != b
+        )
+        if new_pairs_total == 0:
+            return 0
+
+        # --- coarse segment pose graph (float64 exact solve) -----------
+        anchors = [min(s0 * segment, n - 1) for s0 in range(S)]
+        X_old = np.asarray([self.poses[a] for a in anchors], np.float64)
+        pp_ij, pp_z, pp_w = [], [], []
+        w_odo = np.diag(np.asarray(odom_info, np.float64))
+        w_cls = np.diag(np.asarray(closure_info, np.float64))
+        for s in range(S - 1):
+            pp_ij.append((s, s + 1))
+            pp_z.append(_se2_rel_np(X_old[s], X_old[s + 1]))
+            pp_w.append(w_odo)
+        for (i, j, T, _pairs) in matches:
+            if i == j:
+                continue
+            aj_corr = _se2_compose_np(T.astype(np.float32),
+                                      X_old[j].astype(np.float32))
+            pp_ij.append((i, j))
+            pp_z.append(_se2_rel_np(X_old[i], aj_corr.astype(np.float64)))
+            pp_w.append(w_cls)
+        E = len(pp_ij)
+        fixed = np.zeros(S, bool)
+        fixed[0] = True
+        gc = PoseGraph2D(
+            poses=jnp.asarray(X_old, jnp.float32),
+            pose_mask=jnp.ones(S, bool),
+            landmarks=jnp.zeros((1, 2), jnp.float32),
+            landmark_mask=jnp.zeros(1, bool),
+            pp_ij=jnp.asarray(np.asarray(pp_ij, np.int32)),
+            pp_meas=jnp.asarray(np.asarray(pp_z, np.float32)),
+            pp_info=jnp.asarray(np.asarray(pp_w, np.float32)),
+            pp_mask=jnp.ones(E, bool),
+            pl_ij=jnp.zeros((1, 2), jnp.int32),
+            pl_meas=jnp.zeros((1, 2), jnp.float32),
+            pl_info=jnp.zeros((1, 2, 2), jnp.float32),
+            pl_mask=jnp.zeros(1, bool),
+            fixed=jnp.asarray(fixed),
+        )
+        ctl = control_optimize_se2(gc, max_iters=coarse_iters)
+        X_new = np.asarray(ctl["poses"], np.float64)[:S]
+
+        # --- rigid per-segment warp of the level-0 trajectory -----------
+        for s in range(S):
+            lo = s * segment
+            hi = min(lo + segment, n)
+            for p in range(lo, hi):
+                local = _se2_rel_np(X_old[s], np.asarray(self.poses[p],
+                                                         np.float64))
+                self.poses[p] = _se2_compose_np(
+                    X_new[s].astype(np.float32), local.astype(np.float32)
+                )
+
+        # --- re-anchor landmarks from the corrected poses ---------------
+        poses_np = np.asarray(self.poses, np.float32)
+        acc = np.zeros((len(self.landmarks), 2), np.float64)
+        cnt = np.zeros(len(self.landmarks), np.int64)
+        for (p, l, z, _w) in self.obs_edges:
+            acc[l] += _se2_apply_np(poses_np[p], np.asarray(z, np.float32)[None])[0]
+            cnt[l] += 1
+        upd = (cnt > 0) & self.lm_alive
+        self.landmarks[upd] = (acc[upd] / cnt[upd, None]).astype(np.float32)
+
+        # --- merge the matched landmark pairs ---------------------------
+        merged = 0
+        for (_i, _j, _T, pairs) in matches:
+            for la, lb in pairs:
+                if la != lb and self.lm_alive[la] and self.lm_alive[lb]:
+                    keep, drop = (lb, la) if lb < la else (la, lb)
+                    self._merge_landmarks(keep, drop)
+                    merged += 1
+        return merged
+
     def reassociate(self, gate=1.0):
         """EM re-association: re-target each observation edge to the nearest
         alive landmark (within `gate` m) under the current pose estimates,
@@ -863,6 +1319,82 @@ class FeatureTracker2D:
             merged += 1
         return merged
 
+    def split_inconsistent_landmarks(self, spread_gate=4.0,
+                                     cluster_eps=2.5):
+        """Split chimera landmarks (wrong merges) back apart.
+
+        A landmark whose own observations, projected through the CURRENT
+        pose estimates, form multiple well-separated clusters is a fusion
+        of distinct physical landmarks — an earlier wrong merge (measured
+        on Victoria: 19 of 188 landmarks, with obs spreads up to 35 m; each
+        one poisons every later closure batch that touches it). The split
+        re-targets each non-dominant cluster's edges to a fresh landmark —
+        the retraction half of the reference's
+        ``LandmarkCorrespondenceManager`` merge bookkeeping. Returns the
+        number of new landmarks created.
+        """
+        poses = np.asarray(self.poses, np.float32)
+        by_lm: dict[int, list] = {}
+        for k, (p, l, z, _w) in enumerate(self.obs_edges):
+            if self.lm_alive[l]:
+                by_lm.setdefault(int(l), []).append(k)
+        created = 0
+        for l, idxs in by_lm.items():
+            if len(idxs) < 2:
+                continue
+            pts = np.stack([
+                _se2_apply_np(poses[self.obs_edges[k][0]],
+                              np.asarray(self.obs_edges[k][2],
+                                         np.float32)[None])[0]
+                for k in idxs
+            ])
+            d = np.linalg.norm(pts - pts.mean(0), axis=1)
+            if d.max() < spread_gate:
+                continue
+            # single-linkage clustering at cluster_eps
+            m = len(idxs)
+            parent = list(range(m))
+
+            def find(a):
+                while parent[a] != a:
+                    parent[a] = parent[parent[a]]
+                    a = parent[a]
+                return a
+
+            d2 = np.sum((pts[:, None] - pts[None, :]) ** 2, -1)
+            for a in range(m):
+                for b in range(a + 1, m):
+                    if d2[a, b] < cluster_eps * cluster_eps:
+                        ra, rb = find(a), find(b)
+                        if ra != rb:
+                            parent[rb] = ra
+            roots: dict[int, list] = {}
+            for a in range(m):
+                roots.setdefault(find(a), []).append(a)
+            if len(roots) < 2:
+                continue
+            clusters = sorted(roots.values(), key=len, reverse=True)
+            # dominant cluster keeps the landmark; others split off
+            self.landmarks[l] = pts[clusters[0]].mean(0)
+            self.lm_seen[l] = len(clusters[0])
+            for cl in clusters[1:]:
+                li = len(self.landmarks)
+                self.landmarks = np.vstack(
+                    [self.landmarks, pts[cl].mean(0)[None]]
+                )
+                self.lm_alive = np.append(self.lm_alive, True)
+                self.lm_seen = np.append(self.lm_seen, len(cl))
+                self.lm_last_seen = np.append(
+                    self.lm_last_seen,
+                    np.int32(max(self.obs_edges[idxs[a]][0] for a in cl)),
+                )
+                for a in cl:
+                    k = idxs[a]
+                    p, _l, z, w = self.obs_edges[k]
+                    self.obs_edges[k] = (p, li, z, w)
+                created += 1
+        return created
+
     def cull_weak_landmarks(self, min_obs=2):
         """Drop landmarks supported by fewer than `min_obs` observations
         (and their observation edges). Single-observation landmarks are
@@ -911,7 +1443,32 @@ class FeatureTracker2D:
             if l == drop:
                 self.obs_edges[k] = (p, keep, z, w)
         self.lm_seen[keep] += self.lm_seen[drop]
+        if len(self.lm_last_seen) > max(keep, drop):
+            self.lm_last_seen[keep] = max(
+                self.lm_last_seen[keep], self.lm_last_seen[drop]
+            )
         self.lm_alive[drop] = False
+
+    # -- state snapshot / restore (closure-validation rollback) -------------
+    def snapshot(self):
+        """Copy of the mutable map state, for validated-closure rollback."""
+        return (
+            [np.asarray(p).copy() for p in self.poses],
+            self.landmarks.copy(),
+            self.lm_alive.copy(),
+            self.lm_seen.copy(),
+            list(self.obs_edges),
+            self.lm_last_seen.copy(),
+        )
+
+    def restore(self, snap):
+        (poses, lms, alive, seen, obs, last_seen) = snap
+        self.poses = [p.copy() for p in poses]
+        self.landmarks = lms.copy()
+        self.lm_alive = alive.copy()
+        self.lm_seen = seen.copy()
+        self.obs_edges = list(obs)
+        self.lm_last_seen = last_seen.copy()
 
     # -- results ------------------------------------------------------------
     def trajectory(self):

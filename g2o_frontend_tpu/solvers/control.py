@@ -391,9 +391,17 @@ def control_optimize_se3(
     W = np.asarray(g.pp_info, np.float64)[pp_mask]
     T = _pose7_to_T64(np.asarray(g.poses))
     NP = len(T)
+    # a free pose with no incident edges leaves its 6x6 Hff block all-zero:
+    # splu fails, lambda climbs, iterations burn without converging
+    # (ADVICE r4) — mark such poses non-free up front
+    incident = np.zeros(NP, np.int64)
+    np.add.at(incident, pp_ij[:, 0], 1)
+    np.add.at(incident, pp_ij[:, 1], 1)
     free = np.zeros(6 * NP, bool)
     for p in range(NP):
-        free[6 * p : 6 * p + 6] = pose_mask[p] and not fixed[p]
+        free[6 * p : 6 * p + 6] = (
+            pose_mask[p] and not fixed[p] and incident[p] > 0
+        )
     # gauge: if nothing is fixed, fix the first valid pose (g2o convention)
     if not np.any(fixed & pose_mask):
         first = int(np.where(pose_mask)[0][0])
@@ -515,11 +523,21 @@ def control_optimize_ba(
     pts = np.asarray(ba.points, np.float64).copy()
     NP, NL = len(T), len(pts)
     n_dof = 6 * NP + 3 * NL
+    # zero-incidence poses/points leave singular diagonal blocks (ADVICE
+    # r4): mark them non-free
+    inc_p = np.zeros(NP, np.int64)
+    inc_l = np.zeros(NL, np.int64)
+    np.add.at(inc_p, obs_ij[:, 0], 1)
+    np.add.at(inc_l, obs_ij[:, 1], 1)
     free = np.zeros(n_dof, bool)
     for p in range(NP):
-        free[6 * p : 6 * p + 6] = pose_mask[p] and not fixed[p]
+        free[6 * p : 6 * p + 6] = (
+            pose_mask[p] and not fixed[p] and inc_p[p] > 0
+        )
     for l in range(NL):
-        free[6 * NP + 3 * l : 6 * NP + 3 * l + 3] = point_mask[l]
+        free[6 * NP + 3 * l : 6 * NP + 3 * l + 3] = (
+            point_mask[l] and inc_l[l] > 0
+        )
     free_idx = np.where(free)[0]
 
     def residuals(T, pts):

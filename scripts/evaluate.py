@@ -465,54 +465,38 @@ def eval_victoria(fast):
             reserve_obs_edges=int(1.3 * n_obs_total),
         )
     )
-    # r4 note (VERDICT Next 3): periodic GLOBAL optimization during
-    # tracking (with either Euclidean or Mahalanobis incremental gates) was
-    # measured HARMFUL here (ATE 44-46 m vs 27 m without): a 5-iteration
-    # PCG solve on this chain-stiff graph leaves the trajectory locally
-    # kinked, and -odometryIsGood composes subsequent poses from the kink —
-    # poisoning association faster than the better gate can help. The
-    # association work therefore moved into the budgeted finish below
-    # (sweep record: scripts/victoria_sweep.py / victoria_finish.py).
-    prev = None
+    # r5 recipe (sweep record: scripts/victoria_finish.py): validated
+    # online SLAM — exact solves bound drift through the rotation-slip
+    # bursts (a 5-iter PCG in-loop solve was the r4 dead end: kinks),
+    # constellation window relocalization proposes the long-range closures
+    # no NN gate can see, every batch chi2-validated all-or-nothing with
+    # chimera-split rescue, then the offline validated window sweep.
+    # Measured: ATE 27.0 -> 17.5 m, 175 landmarks (truth 151), ~170 s.
+    from g2o_frontend_tpu.slam.validated_slam import (
+        ValidatedSlamConfig,
+        finish_window_closures,
+        run_validated_tracking,
+    )
+
+    def frame_stream():
+        prev = None
+        for k in range(min(n_frames, len(log.se2_ids))):
+            vid = int(log.se2_ids[k])
+            pose = log.se2_poses[k]
+            delta = (
+                np.zeros(3, np.float32)
+                if prev is None
+                else _rel_np(np.asarray(prev), np.asarray(pose))
+            )
+            prev = pose
+            yield delta, np.asarray(
+                feats.get(vid, np.zeros((0, 2))), np.float32
+            )
+
     t0 = time.perf_counter()
-    for k in range(min(n_frames, len(log.se2_ids))):
-        vid = int(log.se2_ids[k])
-        pose = log.se2_poses[k]
-        delta = (
-            np.zeros(3, np.float32)
-            if prev is None
-            else _rel_np(np.asarray(prev), np.asarray(pose))
-        )
-        prev = pose
-        obs = np.asarray(feats.get(vid, np.zeros((0, 2))), np.float32)
-        tr.process_frame(delta, obs)
-        if (k + 1) % 50 == 0:
-            tr.close_loops()
-    # finish (the r4 'em6' strategy, best of the scripts/victoria_finish.py
-    # sweep: ATE 26.4 m / 177 landmarks / ~126 s total vs r3's
-    # 27.4 / 196 / 866 s): segment-RANSAC global closure sweeps handle the
-    # coherent multi-meter drift NN gates cannot, then ONE budgeted Schur
-    # polish. Huber (kills true closures), aggressive gates (wrong merges,
-    # chi2 157k->487k creep) and residual pruning (fixes chi2, not ATE —
-    # the remaining error is MISSING long-range associations, see EVAL §5)
-    # all measured worse.
-    tr.merge_nearby_landmarks()
-    tr.close_loops()
-    chi2 = tr.optimize(local=False, iters=12)
-    for _ in range(6):
-        m = tr.close_loops_global(segment=250, gate=12.0,
-                                  inlier_threshold=0.6)
-        m += tr.merge_landmarks_mahalanobis(chi2_gate=9.21,
-                                            prefilter_distance=12.0)
-        moved = tr.reassociate(gate=1.5)
-        chi2 = tr.optimize(local=False, iters=8)
-        if m == 0 and moved == 0:
-            break
-    # cull spurious/fragment landmarks (single-observation tracks)
-    if tr.cull_weak_landmarks(min_obs=2):
-        tr.reassociate(gate=1.5)
-    tr.cfg.global_solver = "schur"
-    chi2 = tr.optimize(local=False, iters=25)
+    tr.cfg.frame_closure = False  # proposals run via the driver loop
+    run_validated_tracking(tr, frame_stream(), ValidatedSlamConfig())
+    chi2 = finish_window_closures(tr)
     wall = time.perf_counter() - t0
 
     est = tr.trajectory()[: len(ref_traj)]
