@@ -548,16 +548,19 @@ class FeatureTracker2D:
 
     def obs_edge_chi2(self):
         """Per-observation-edge chi2 at the current estimate (E,)."""
+        if not self.obs_edges:
+            return np.zeros(0)
         poses = np.asarray(self.poses, np.float64)
-        out = np.zeros(len(self.obs_edges))
-        for k, (p, l, z, w) in enumerate(self.obs_edges):
-            xp = poses[p]
-            c, s = np.cos(xp[2]), np.sin(xp[2])
-            dd = self.landmarks[l] - xp[:2]
-            e = np.array([c * dd[0] + s * dd[1],
-                          -s * dd[0] + c * dd[1]]) - z
-            out[k] = float(e @ w @ e)
-        return out
+        E = len(self.obs_edges)
+        P = np.fromiter((e[0] for e in self.obs_edges), np.int64, E)
+        Li = np.fromiter((e[1] for e in self.obs_edges), np.int64, E)
+        Z = np.stack([np.asarray(e[2], np.float64) for e in self.obs_edges])
+        Wm = np.stack([np.asarray(e[3], np.float64) for e in self.obs_edges])
+        c, s = np.cos(poses[P, 2]), np.sin(poses[P, 2])
+        dd = self.landmarks[Li].astype(np.float64) - poses[P, :2]
+        e = np.stack([c * dd[:, 0] + s * dd[:, 1],
+                      -s * dd[:, 0] + c * dd[:, 1]], 1) - Z
+        return np.einsum("ki,kij,kj->k", e, Wm, e)
 
     # -- association --------------------------------------------------------
     def _associate(self, pose, obs_local):
@@ -1238,25 +1241,40 @@ class FeatureTracker2D:
         `LandmarkCorrespondenceManager` re-binding role after large loop
         corrections. Returns the number of re-targeted edges.
         """
-        poses = np.asarray(self.poses)
+        poses = np.asarray(self.poses, np.float64)
         alive = np.where(self.lm_alive)[0]
-        if len(alive) == 0:
+        if len(alive) == 0 or not self.obs_edges:
             return 0
-        L = self.landmarks[alive]
-        moved = 0
-        counts = np.zeros(len(self.landmarks), np.int64)
-        for k, (p, l, z, w) in enumerate(self.obs_edges):
-            wpos = _se2_apply_np(poses[p], np.asarray(z)[None])[0]
-            d2 = np.sum((L - wpos) ** 2, -1)
-            j = int(np.argmin(d2))
-            tgt = int(alive[j])
-            if d2[j] < gate * gate and tgt != l:
-                self.obs_edges[k] = (p, tgt, z, w)
-                moved += 1
-            counts[self.obs_edges[k][1]] += 1
-        for l in alive:
-            if counts[l] == 0:
-                self.lm_alive[l] = False
+        L = self.landmarks[alive].astype(np.float64)
+        E = len(self.obs_edges)
+        P = np.fromiter((e[0] for e in self.obs_edges), np.int64, E)
+        Z = np.stack([np.asarray(e[2], np.float64) for e in self.obs_edges])
+        cur = np.fromiter((e[1] for e in self.obs_edges), np.int64, E)
+        c, s = np.cos(poses[P, 2]), np.sin(poses[P, 2])
+        W = np.stack(
+            [poses[P, 0] + c * Z[:, 0] - s * Z[:, 1],
+             poses[P, 1] + s * Z[:, 0] + c * Z[:, 1]], 1
+        )
+        # chunked NN (E x L distance matrix can be hundreds of MB)
+        tgt = np.empty(E, np.int64)
+        ok = np.empty(E, bool)
+        g2 = gate * gate
+        step = max(1, int(4e6 // max(len(L), 1)))
+        for a in range(0, E, step):
+            b = min(a + step, E)
+            d2 = np.sum((W[a:b, None] - L[None]) ** 2, -1)
+            j = d2.argmin(1)
+            tgt[a:b] = alive[j]
+            ok[a:b] = d2[np.arange(b - a), j] < g2
+        move = ok & (tgt != cur)
+        moved = int(move.sum())
+        if moved:
+            for k in np.where(move)[0]:
+                p, _l, z, w = self.obs_edges[k]
+                self.obs_edges[k] = (p, int(tgt[k]), z, w)
+        final = np.where(move, tgt, cur)
+        counts = np.bincount(final, minlength=len(self.landmarks))
+        self.lm_alive[alive[counts[alive] == 0]] = False
         return moved
 
     def merge_landmarks_mahalanobis(self, chi2_gate=9.21,

@@ -144,6 +144,182 @@ def simulate(config: SimulatorConfig = SimulatorConfig()) -> SimulatedWorld:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# SE3 world simulator (VERDICT r4 Next 3: the GraphSimulator pattern of
+# ``graph_merge/graph_simulator.h:91-108`` lifted to SE3 — noisy multi-loop
+# 3D worlds with inter-loop closures and a NONZERO pinned optimum, the
+# missing accuracy fixture for the distributed SE3 solvers)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Simulator3DConfig:
+    n_poses: int = 2000
+    world_size: float = 40.0
+    step: float = 0.5
+    turn_prob: float = 0.12
+    # twist noise std [tx, ty, tz, rx, ry, rz] applied to each odometry edge
+    odom_noise: tuple = (0.02, 0.01, 0.01, 0.002, 0.002, 0.006)
+    closure_prob: float = 0.5
+    closure_radius: float = 2.5
+    closure_min_gap: int = 100
+    closure_noise_scale: float = 0.5
+    seed: int = 0
+
+
+def _exp_so3(w):
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+def _exp_se3(xi):
+    T = np.eye(4)
+    T[:3, :3] = _exp_so3(np.asarray(xi[3:], np.float64))
+    T[:3, 3] = xi[:3]
+    return T
+
+
+def _T_to_pose7(T):
+    R = T[:3, :3]
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        q = np.array([(R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+                      (R[1, 0] - R[0, 1]) / s, 0.25 * s])
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 2
+        q = np.zeros(4)
+        q[i] = 0.25 * s
+        q[j] = (R[j, i] + R[i, j]) / s
+        q[k] = (R[k, i] + R[i, k]) / s
+        q[3] = (R[k, j] - R[j, k]) / s
+    q /= np.linalg.norm(q)
+    return np.concatenate([T[:3, 3], q])
+
+
+def simulate_se3(config: Simulator3DConfig = Simulator3DConfig()):
+    """Noisy multi-loop SE3 world -> (PoseGraph3D, info dict).
+
+    The trajectory is a bounded 3D random walk (forward steps along body x,
+    occasional yaw turns, gentle pitch wander, steered back inside the
+    box); odometry edges carry multiplicative twist noise; revisits within
+    `closure_radius` after `closure_min_gap` poses become (tighter-noise)
+    closure edges. The returned graph is initialized from INTEGRATED NOISY
+    ODOMETRY, so its float64 optimum is nonzero and meaningfully far from
+    the init — the accuracy fixture the chain-like graphSE3 dataset
+    (optimum ~ 0) cannot provide.
+    """
+    import jax.numpy as jnp
+
+    from ..graph.store import PoseGraph3D, _cap
+
+    cfg = config
+    rng = np.random.default_rng(cfg.seed)
+    half = cfg.world_size / 2
+
+    # ground-truth trajectory
+    T = np.eye(4)
+    T[:3, 3] = 0.0
+    gt = [T.copy()]
+    for _ in range(cfg.n_poses - 1):
+        xi = np.zeros(6)
+        xi[0] = cfg.step
+        if rng.random() < cfg.turn_prob:
+            xi[5] = rng.choice([-np.pi / 2, np.pi / 2]) * rng.uniform(
+                0.8, 1.0
+            )
+        xi[4] = rng.normal(0, 0.05)  # gentle pitch wander
+        nxt = gt[-1] @ _exp_se3(xi)
+        # steer back toward the box when leaving it
+        if np.any(np.abs(nxt[:3, 3]) > half):
+            ctr = -gt[-1][:3, 3]
+            fwd = gt[-1][:3, :3] @ np.array([1.0, 0, 0])
+            yaw = np.sign(np.cross(fwd, ctr)[2]) * np.pi / 2
+            xi[5] = yaw
+            xi[4] = -0.1 * np.sign(gt[-1][2, 3])
+            nxt = gt[-1] @ _exp_se3(xi)
+        gt.append(nxt)
+    gt = np.stack(gt)
+
+    # noisy odometry edges + integrated init
+    inv = np.linalg.inv
+    info_o = np.diag(1.0 / np.square(np.asarray(cfg.odom_noise, np.float64)))
+    edges = []
+    init = [gt[0].copy()]
+    for i in range(cfg.n_poses - 1):
+        rel = inv(gt[i]) @ gt[i + 1]
+        z = rel @ _exp_se3(rng.normal(0, cfg.odom_noise))
+        edges.append((i, i + 1, z, info_o))
+        init.append(init[-1] @ z)
+    init = np.stack(init)
+
+    # loop closures on ground-truth proximity
+    n_closures = 0
+    pos = gt[:, :3, 3]
+    info_c = np.diag(
+        1.0 / np.square(
+            np.asarray(cfg.odom_noise, np.float64) * cfg.closure_noise_scale
+        )
+    )
+    last_closure = -10 ** 9
+    for j in range(cfg.n_poses):
+        if j - last_closure < 10:
+            continue
+        d = np.linalg.norm(pos[: max(j - cfg.closure_min_gap, 0)] - pos[j],
+                           axis=1)
+        if len(d) == 0:
+            continue
+        i = int(np.argmin(d))
+        if d[i] < cfg.closure_radius and rng.random() < cfg.closure_prob:
+            rel = inv(gt[i]) @ gt[j]
+            z = rel @ _exp_se3(
+                rng.normal(0, np.asarray(cfg.odom_noise)
+                           * cfg.closure_noise_scale)
+            )
+            edges.append((i, j, z, info_c))
+            n_closures += 1
+            last_closure = j
+
+    NP = _cap(cfg.n_poses)
+    EP = _cap(len(edges))
+    poses7 = np.zeros((NP, 7), np.float32)
+    poses7[:, 6] = 1.0
+    for i in range(cfg.n_poses):
+        poses7[i] = _T_to_pose7(init[i])
+    pp_ij = np.zeros((EP, 2), np.int32)
+    pp_z = np.zeros((EP, 7), np.float32)
+    pp_z[:, 6] = 1.0
+    pp_w = np.zeros((EP, 6, 6), np.float32)
+    for k, (i, j, z, w) in enumerate(edges):
+        pp_ij[k] = (i, j)
+        pp_z[k] = _T_to_pose7(z)
+        pp_w[k] = w
+    fixed = np.zeros(NP, bool)
+    fixed[0] = True
+    g = PoseGraph3D(
+        poses=jnp.asarray(poses7),
+        pose_mask=jnp.asarray(np.arange(NP) < cfg.n_poses),
+        pp_ij=jnp.asarray(pp_ij),
+        pp_meas=jnp.asarray(pp_z),
+        pp_info=jnp.asarray(pp_w),
+        pp_mask=jnp.asarray(np.arange(EP) < len(edges)),
+        fixed=jnp.asarray(fixed),
+    )
+    return g, {
+        "gt_T": gt,
+        "init_T": init,
+        "n_poses": cfg.n_poses,
+        "n_edges": len(edges),
+        "n_closures": n_closures,
+    }
+
+
 @dataclass
 class LaserWorldConfig:
     """Rectangular room + inner walls, loop trajectory, ray-cast scans.

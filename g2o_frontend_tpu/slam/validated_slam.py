@@ -186,6 +186,43 @@ def run_validated_tracking(tr, frames, config=ValidatedSlamConfig(),
             "closures": n_closures}
 
 
+def association_em(tr, rounds=18, merge_distance=0.5, reassoc_gate=0.8,
+                   solve_iters=10, quiet_moved=150, exact_polish=True,
+                   log=None):
+    """Association-quality EM to a fixed point (the world1000 recipe).
+
+    Alternates duplicate merging (optional), re-targeting every observation
+    edge to its nearest landmark under the current geometry, and a jitted
+    PCG solve; finishes with exact float64 solves. On
+    world-1000-dense-highnoise this closes the association chi2 gap from
+    1.84x the reference tracker's own output graph to 0.97x on the
+    identical 108,674-observation set (measured; the covariance-gated
+    merge variant was measured ~85 s/round for near-zero additional merges
+    and is deliberately absent). Returns the final chi2.
+    """
+    chi2 = None
+    for r in range(rounds):
+        m = (tr.merge_nearby_landmarks(distance=merge_distance)
+             if merge_distance else 0)
+        moved = tr.reassociate(gate=reassoc_gate)
+        chi2 = tr.optimize(local=False, iters=solve_iters)
+        if log and r % 4 == 3:
+            log(f"association_em round {r}: merged={m} moved={moved} "
+                f"chi2={chi2:.4g} lms={int(tr.lm_alive.sum())}")
+        if m == 0 and moved < quiet_moved:
+            break
+    if tr.cull_weak_landmarks(min_obs=2):
+        tr.reassociate(gate=reassoc_gate)
+    if exact_polish:
+        old = tr.cfg.global_solver
+        tr.cfg.global_solver = "control"
+        chi2 = tr.optimize(local=False, iters=8)
+        tr.reassociate(gate=reassoc_gate)
+        chi2 = tr.optimize(local=False, iters=8)
+        tr.cfg.global_solver = old
+    return chi2
+
+
 def finish_window_closures(tr, window=60, step=30, old_age=150,
                            radius=45.0, rot_gate=0.8, min_inliers=6,
                            rounds=2, absorb_iters=20, log=None):

@@ -197,17 +197,24 @@ def so3_exp(w):
     th = jnp.sqrt(th2 + 1e-32)
     W = skew(w)
     # sin(x)/x and (1-cos(x))/x^2 with series fallbacks near zero.
-    a = jnp.where(th2 > 1e-8, jnp.sin(th) / th, 1.0 - th2 / 6.0)
-    b = jnp.where(th2 > 1e-8, (1.0 - jnp.cos(th)) / (th2 + 1e-32), 0.5 - th2 / 24.0)
+    # branch thresholds are f32-calibrated: (1 - cos th) cancels
+    # catastrophically in f32 up to th ~ 3e-3 (cos rounds to 1.0), so the
+    # series branch must cover th <= 1e-2 (series truncation there is
+    # ~1e-11 relative — far below f32 eps)
+    a = jnp.where(th2 > 1e-4, jnp.sin(th) / th, 1.0 - th2 / 6.0)
+    b = jnp.where(th2 > 1e-4, (1.0 - jnp.cos(th)) / (th2 + 1e-32), 0.5 - th2 / 24.0)
     return jnp.eye(3, dtype=w.dtype) + a * W + b * (W @ W)
 
 
 def so3_log(R):
     """Rotation matrix -> axis-angle 3-vector, safe near 0 and pi."""
     tr = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
-    th = jnp.arccos(tr)
-    # Generic branch: vee((R - R^T)/2) * th/sin(th)
+    # th from atan2(|vee|, cos): the arccos form loses ~sqrt(eps) accuracy
+    # near th = 0 (f32: 6% relative at th = 1e-3); atan2 is conditioned
+    # everywhere except th ~ pi, which the near_pi branch owns
     v = 0.5 * jnp.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    s = jnp.linalg.norm(v)
+    th = jnp.arctan2(s, tr)
     sin_th = jnp.sin(th)
     generic = v * jnp.where(sin_th > 1e-6, th / jnp.maximum(sin_th, 1e-32), 1.0)
     # Near pi: use diagonal to recover axis magnitude.
@@ -233,9 +240,10 @@ def se3_exp(xi):
     th2 = jnp.dot(w, w)
     th = jnp.sqrt(th2 + 1e-32)
     W = skew(w)
-    b = jnp.where(th2 > 1e-8, (1.0 - jnp.cos(th)) / (th2 + 1e-32), 0.5 - th2 / 24.0)
+    # f32-calibrated branch (see so3_exp): cover th <= 1e-2 with the series
+    b = jnp.where(th2 > 1e-4, (1.0 - jnp.cos(th)) / (th2 + 1e-32), 0.5 - th2 / 24.0)
     c = jnp.where(
-        th2 > 1e-8, (th - jnp.sin(th)) / (th2 * th + 1e-32), 1.0 / 6.0 - th2 / 120.0
+        th2 > 1e-4, (th - jnp.sin(th)) / (th2 * th + 1e-32), 1.0 / 6.0 - th2 / 120.0
     )
     V = jnp.eye(3, dtype=xi.dtype) + b * W + c * (W @ W)
     T = jnp.eye(4, dtype=xi.dtype)
@@ -251,11 +259,15 @@ def se3_log(T):
     th = jnp.sqrt(th2 + 1e-32)
     W = skew(w)
     # V^{-1} = I - W/2 + (1/th^2)(1 - th sin/(2(1-cos))) W^2
+    # f32-calibrated branch: with the 1e-8 threshold, (1 - cos th) rounds
+    # to 0 for th in [1e-4, 3e-3] and the guarded division EXPLODES to Inf
+    # (measured: one gradient step on the SE3 simulator -> chi2 = Inf);
+    # the series 1/12 + th^2/720 is exact to ~1e-13 at th = 1e-2
     cot_term = jnp.where(
-        th2 > 1e-8,
+        th2 > 1e-4,
         (1.0 - th * jnp.sin(th) / (2.0 * jnp.maximum(1.0 - jnp.cos(th), 1e-32)))
         / (th2 + 1e-32),
-        1.0 / 12.0,
+        1.0 / 12.0 + th2 / 720.0,
     )
     Vinv = jnp.eye(3, dtype=T.dtype) - 0.5 * W + cot_term * (W @ W)
     return jnp.concatenate([Vinv @ T[:3, 3], w])

@@ -365,20 +365,38 @@ def eval_world1000(fast):
             tr.close_loops()
             tr.merge_nearby_landmarks(distance=0.3)
             tr.optimize(local=False, iters=3)
-    # budgeted finish (same shape as the victoria recipe's; the 0.8 m
-    # merge matches the measured 593-landmark / 2.02 m ATE recipe)
-    chi2 = 0.0
+    # r5 finish (sweep record: scripts/world_finish.py): association EM to
+    # a fixed point. Measured curve on the full run: at the reference
+    # tracker's own landmark count (592 vs its 589) chi2 is 1.47x its
+    # output graph's optimum; letting the EM keep the statistically
+    # distinct fragments (851 landmarks) reaches 0.97x — BELOW the
+    # reference's own association quality on the identical 108,674
+    # observations. Both points are measured here; the free-count point is
+    # the headline (the 0.8 m dedup that forces count parity was measured
+    # to merge genuinely distinct high-noise landmarks: chi2 2.5x).
+    from g2o_frontend_tpu.slam.validated_slam import association_em
+
+    snap = tr.snapshot()
+    # point A: count parity (the r4 dedup discipline + no-merge EM)
     for _ in range(2):
         tr.merge_nearby_landmarks(distance=0.8)
         tr.close_loops()
-        chi2 = tr.optimize(local=False, iters=12)
+        tr.optimize(local=False, iters=12)
     m = tr.merge_landmarks_mahalanobis(chi2_gate=9.21, prefilter_distance=6.0)
     moved = tr.reassociate(gate=1.0)
     if m or moved:
-        chi2 = tr.optimize(local=False, iters=12)
+        tr.optimize(local=False, iters=12)
     if tr.cull_weak_landmarks(min_obs=2):
         tr.reassociate(gate=1.0)
-        chi2 = tr.optimize(local=False, iters=12)
+        tr.optimize(local=False, iters=12)
+    chi2_cp = association_em(tr, merge_distance=None)
+    lms_cp = int(tr.lm_alive.sum())
+    # point B (headline): free-count association EM
+    tr.restore(snap)
+    tr.merge_nearby_landmarks(distance=0.8)
+    tr.close_loops()
+    tr.optimize(local=False, iters=12)
+    chi2 = association_em(tr)
     wall = time.perf_counter() - t0
 
     est = tr.trajectory()[: len(ref_traj)]
@@ -404,11 +422,56 @@ def eval_world1000(fast):
         "landmarks_reference": ref_landmarks,
         "chi2": float(chi2),
         "chi2_reference_graph": float(ctl["chi2"]),
+        "chi2_ratio": round(float(chi2) / float(ctl["chi2"]), 3),
+        "count_parity_point": {"landmarks": lms_cp, "chi2": float(chi2_cp),
+                               "chi2_ratio": round(
+                                   float(chi2_cp) / float(ctl["chi2"]), 3)},
         "ate_vs_reference_rmse": round(float(res["rmse"]), 3),
         "ate_odometry_rmse": round(float(odo["rmse"]), 3),
         "wall_s": round(wall, 1),
     }
     with open(os.path.join(OUT, "world1000.json"), "w") as fh:
+        json.dump(out, fh)
+    return out
+
+
+def eval_world2000(fast):
+    """world-2000 unknown-DA (both noise variants) judged against the
+    bundled TRUE-association graphs (VERDICT r4 Next 2).
+
+    ``world-2000-full.g2o`` carries ground-truth data association (69 true
+    landmarks; lownoise: 145) — so unlike world-1000 the proper judge is
+    the full graph's float64 optimum, with the reference tracker's own
+    bundled output (``world-2000-default.g2o``, 463 landmarks) scored on
+    the SAME bar. Protocol per ``datasets/2D/params.txt:4-8``.
+    """
+    import pickle
+    import subprocess
+    import sys as _sys
+
+    out = {}
+    for name in (["world2000"] if fast else ["world2000", "world2000low"]):
+        # run through the world_finish harness functions (single source of
+        # recipe truth)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import world_finish as wf
+
+        frames = 800 if fast else 10 ** 9
+        if name == "world2000":
+            # high-noise: validated tracking is what reaches truth-level
+            # association (measured: ATE 1.31 -> 0.28, landmarks 97 -> 68
+            # vs 69 true)
+            wf.track_validated(name, frames)
+            tr, st = wf.load_tracker(name, ".val")
+        else:
+            wf.track(name, frames)
+            tr, st = wf.load_tracker(name)
+        t0 = time.perf_counter()
+        chi2 = wf.finish_em7(tr)
+        res = wf.evaluate(tr, st, chi2, time.perf_counter() - t0,
+                          "shipped", name)
+        out[name] = res
+    with open(os.path.join(OUT, "world2000.json"), "w") as fh:
         json.dump(out, fh)
     return out
 
@@ -724,7 +787,8 @@ def main():
     ap.add_argument("--fast", action="store_true")
     ap.add_argument(
         "--only",
-        choices=["victoria", "world1000", "report"] + sorted(CORE_SECTIONS),
+        choices=["victoria", "world1000", "world2000", "report"]
+        + sorted(CORE_SECTIONS),
         help="re-run one section (core results cached in eval_out/core.json);"
         " 'report' regenerates EVAL.md from the cached results only",
     )
@@ -736,6 +800,9 @@ def main():
         return
     if args.only == "world1000":
         print(json.dumps(eval_world1000(args.fast), indent=1))
+        return
+    if args.only == "world2000":
+        print(json.dumps(eval_world2000(args.fast), indent=1))
         return
 
     core_path = os.path.join(OUT, "core.json")
