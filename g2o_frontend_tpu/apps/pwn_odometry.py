@@ -124,6 +124,16 @@ def main(argv=None):
         if args.max_frames:
             index = index[: args.max_frames]
         for ts, rel in index:
+            if args.scan:
+                # scan mode ships RAW uint16 (half the H2D bytes; the
+                # float conversion runs on device)
+                depth = tum.load_depth_png_raw(
+                    os.path.join(args.seq_dir, rel))
+                if args.scale > 1:
+                    depth = depth[:: args.scale, :: args.scale]
+                scan_depths.append(depth)
+                timestamps.append(ts)
+                continue
             depth = tum.load_depth_png(os.path.join(args.seq_dir, rel))
             if args.scale > 1:
                 depth = depth[:: args.scale, :: args.scale]
@@ -133,9 +143,12 @@ def main(argv=None):
         from ..slam.pwn_tracker import odometry_scan
 
         t0 = _time.perf_counter()
+        batch = np.stack(scan_depths)
         traj_dev, scan_metrics = odometry_scan(
-            np.stack(scan_depths), proj, ccfg, acfg,
+            batch, proj, ccfg, acfg,
             kf_fraction=args.kf_fraction,
+            depth_scale=(1.0 / 5000.0 if batch.dtype == np.uint16
+                         else None),
         )
         traj = np.asarray(traj_dev, np.float64)
         wall = _time.perf_counter() - t0

@@ -65,6 +65,16 @@ def _paeth(a, b, c):
 
 def load_depth_png(path, depth_scale=1.0 / 5000.0):
     """Load a 16-bit grayscale PNG depth image -> (H, W) float32 meters."""
+    raw = load_depth_png_raw(path)
+    return raw.astype(np.float32) * depth_scale
+
+
+def load_depth_png_raw(path):
+    """Load a grayscale PNG depth image as RAW uint16 counts.
+
+    The raw form is what goes over the host->device wire in scan mode —
+    half the bytes of float32, with the meters conversion done on device
+    (``slam/pwn_tracker.odometry_scan(depth_scale=...)``)."""
     with open(path, "rb") as fh:
         data = fh.read()
     assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
@@ -122,9 +132,8 @@ def load_depth_png(path, depth_scale=1.0 / 5000.0):
         img[y] = cur.astype(np.uint8)
         prev = cur
     if bitdepth == 16:
-        u16 = (img[:, 0::2].astype(np.uint16) << 8) | img[:, 1::2]
-        return u16.astype(np.float32) * depth_scale
-    return img.astype(np.float32) * depth_scale
+        return (img[:, 0::2].astype(np.uint16) << 8) | img[:, 1::2]
+    return img.astype(np.uint16)
 
 
 def read_trajectory(path):

@@ -88,7 +88,13 @@ class AlignerConfig:
     # the caller the banded association lost correspondences; the host
     # tracker redoes the align with association="gather"
     fused_min_band_coverage: float = 0.90
-    tile_rows: int = 16
+    # r5 sweep (VERDICT r4 Next 6, eval_out/tr_sweep.json): TR=32 doubles
+    # the DMA block height for <10% more overhead rows — measured 423 fps
+    # vs 319 at TR=16 (+32%) at equal accuracy (t_err 3e-4, coverage
+    # 0.974); TR=64 reaches 517 fps but breaks accuracy (t_err 4e-2,
+    # coverage at the 0.90 floor) — the per-tile mean displacement stops
+    # representing its tile. TR=32 is the measured optimum.
+    tile_rows: int = 32
     tile_cols: int = 128
 
 

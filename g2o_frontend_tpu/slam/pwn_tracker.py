@@ -221,6 +221,7 @@ def odometry_scan(
     acfg: AlignerConfig = AlignerConfig(),
     kf_fraction: float = 0.4,
     min_cloud_inliers: int = 3000,
+    depth_scale: float | None = None,
 ):
     """Whole-sequence odometry as ONE device program (`lax.scan`).
 
@@ -230,12 +231,22 @@ def odometry_scan(
     keyframe policy (``pwn_tracker.cpp:164-170``) becomes a `jnp.where`
     tree-select on the carried reference cloud: fixed shapes, no host sync.
 
+    ``depth_scale``: pass the TUM raw uint16 batch with its meters-per-unit
+    scale and the float conversion happens ON DEVICE — halving the
+    host->device bytes, which dominate the e2e wall on the tunneled chip
+    (measured: 65 s H2D for 37 MB f32 vs 1.1 s of on-chip compute for the
+    whole 120-frame sequence).
+
     Returns (trajectory (K, 4, 4) world poses, metrics dict of (K,) arrays:
     inliers, fraction, keyframe flags).
     """
     import jax
 
-    depths = jnp.asarray(depths, jnp.float32)
+    if depth_scale is not None:
+        depths = jnp.asarray(depths)  # uint16 on the wire
+        depths = depths.astype(jnp.float32) * jnp.float32(depth_scale)
+    else:
+        depths = jnp.asarray(depths, jnp.float32)
     cloud0 = depth_to_cloud(depths[0], projector, ccfg)
     eye = jnp.eye(4, dtype=jnp.float32)
     max_inliers = projector.rows * projector.cols

