@@ -270,15 +270,10 @@ def eval_grid_slam(fast):
     for k in range(min(n, len(log.laser_scans))):
         scan = log.laser_scans[k]
         pose = log.se2_poses[k]
-        delta = (
-            np.zeros(3, np.float32)
-            if prev is None
-            else np.asarray(
-                lie.se2_relative(
-                    jnp.asarray(prev, jnp.float32), jnp.asarray(pose, jnp.float32)
-                )
-            )
-        )
+        # host-side rel (a jitted dispatch per scan measured 8 s of the
+        # eval wall — r5 profile)
+        delta = (np.zeros(3, np.float32) if prev is None
+                 else _rel_np(np.asarray(prev), np.asarray(pose)))
         prev = pose
         slam.process_scan(scan.ranges, scan.angles, delta)
     chi2 = slam.optimize(iters=10, cg_iters=100)
@@ -922,24 +917,41 @@ def main():
                   "~150-200 ms per host->chip round trip, so per-frame "
                   "dispatch is latency-bound, NOT compute-bound (the bare "
                   "aligner sustains 300+ fps when chained on-device, §6)",
-                  f"- whole-sequence `--scan` mode (one transfer, keyframe "
-                  f"loop as one lax.scan program): **{tt['fps_e2e_scan']} "
-                  f"fps e2e** ({tt['frame_ms_e2e_scan']} ms/frame) — the "
-                  "TPU-native fix for dispatch latency",
+                  f"- whole-sequence `--scan` mode (raw uint16 on the "
+                  "wire — half the f32 bytes, meters conversion on device "
+                  "— one transfer, keyframe loop as one lax.scan program): "
+                  f"**{tt['fps_e2e_scan']} fps e2e** "
+                  f"({tt['frame_ms_e2e_scan']} ms/frame)",
                   f"- ATE {tt['ate_rmse_m']:.3f} m (dispatch) / "
                   f"{(tt.get('ate_rmse_m_scan') or float('nan')):.3f} m "
-                  "(scan); benchmark emission stays 14-column"]
+                  "(scan); benchmark emission stays 14-column"] + ([
+                  f"- measured e2e breakdown (r5): PNG decode "
+                  f"{tt['breakdown']['decode_ms_per_frame']} ms/frame, "
+                  f"H2D {tt['breakdown']['h2d_mb']} MB in "
+                  f"{tt['breakdown']['h2d_s']} s "
+                  f"({tt['breakdown']['h2d_ms_per_frame']} ms/frame), "
+                  "on-chip ~9 ms/frame — the TUNNELED WIRE binds the e2e "
+                  "number an order of magnitude below the compute rate; "
+                  "on a direct-attached chip the same program would run at "
+                  "the compute rate"] if "breakdown" in tt else [])
 
     # persistent sidecar sections (produced by their own runners)
     vic_path = os.path.join(OUT, "victoria.json")
     if os.path.isfile(vic_path):
         v = json.load(open(vic_path))
         lines += ["", "## 5. Victoria Park unknown DA (params.txt recipe)", "",
-                  "Online tracking + closure every 50 frames, then the r4 "
-                  "finish: whole-trajectory segment-RANSAC closure sweeps + "
-                  "covariance-gated merges + EM re-association, one budgeted "
-                  "Schur/chain polish (the PCG path stalls far above this "
-                  "chain+landmark graph's optimum, EVAL §1).", "",
+                  "r5 recipe (slam/validated_slam.py): validated online "
+                  "SLAM — an exact float64 solve every 50 frames bounds "
+                  "drift through the rotation-slip bursts (197 steps with "
+                  ">0.1 rad hidden heading error), the constellation window "
+                  "relocalization (slam/constellation.py: pose-free "
+                  "pairwise-distance-consistent matching inside an "
+                  "odometry-drift prior gate) proposes the long-range "
+                  "closures no NN gate can see, and every merge batch is "
+                  "absorbed all-or-nothing through a chi2 gate with "
+                  "basin-jump warping and chimera-split rescue, else rolled "
+                  "back. Offline: the validated window-closure sweep + "
+                  "conservative mop-up.", "",
                   f"- frames: {v['frames']}, landmarks: {v['landmarks']} "
                   "(151 in the full-association ground truth)",
                   f"- ATE vs full-association optimum: "
@@ -949,36 +961,87 @@ def main():
                   "- figure: eval_out/unknown_da_victoria.png",
                   "- produced by: scripts/evaluate.py --only victoria",
                   "",
-                  "r4 finish strategy (sweep record in "
-                  "scripts/victoria_sweep.py / victoria_finish.py): "
-                  "segment-RANSAC whole-trajectory closure sweeps + "
-                  "Mahalanobis merges + EM re-association, one budgeted "
-                  "Schur polish. Measured dead ends: in-loop global "
-                  "optimization poisons association under -odometryIsGood "
-                  "(ATE 44-46 m), Huber kills true closures (35.3 m), "
-                  "aggressive gates over-merge (chi2 157k->487k), residual "
-                  "pruning fixes chi2 (199k->50k) but not ATE, and a "
-                  "second full tracking pass against the pass-1 map "
-                  "re-spawns duplicates (34.2 m). The residual "
-                  "error is MISSING long-range association: ground-truth "
-                  "association through the same solvers reaches ATE~0."]
+                  "r5 sweep record (scripts/victoria_finish.py): ATE "
+                  "27.0 -> 17.5 m. Measured dead ends this round: plain "
+                  "in-loop exact solving without validation lets one false "
+                  "merge drag the whole trajectory (ATE 53.7 m); per-pair "
+                  "greedy batch carving keeps consistent-but-wrong subsets "
+                  "(18.1 -> 32.9 m); constellation matching WITHOUT the "
+                  "drift-prior gate has precision 0.21 on the quasi-regular "
+                  "tree pattern; rigid 250-pose segment constellations are "
+                  "distorted 11 m median by the slip bursts (the rigid "
+                  "matching unit must be a ~60-pose window); Mahalanobis "
+                  "covariance refresh in-loop is slow AND harmful "
+                  "(chi2_ref 5.4k -> 57k). The residual 17.5 m sits in a "
+                  "handful of revisits whose closure batches are blocked by "
+                  "fully-absorbed early chimeras (wrong incremental merges "
+                  "that a strong solver renders locally invisible — "
+                  "detectable only under strain, and the strain of their "
+                  "OWN closure is not always enough)."]
     w1_path = os.path.join(OUT, "world1000.json")
     if os.path.isfile(w1_path):
         w = json.load(open(w1_path))
+        cp = w.get("count_parity_point", {})
         lines += ["", "### world-1000-dense-highnoise (params.txt default "
-                  "recipe — r4)", "",
+                  "recipe — r5)", "",
                   "Densest, noisiest bundled world (108,674 observations / "
                   "1000 frames). Judged against the REFERENCE tracker's own "
-                  "recorded output graph (the bundled *_default file).", "",
-                  f"- landmarks: **{w['landmarks']}** vs reference output "
-                  f"{w['landmarks_reference']} "
-                  f"({abs(w['landmarks'] - w['landmarks_reference']) / w['landmarks_reference'] * 100:.1f}% off)",
+                  "recorded output graph (the bundled *_default file) — "
+                  "chi2 on the IDENTICAL observation set is directly "
+                  "comparable. r5's association EM "
+                  "(slam/validated_slam.association_em) measures BOTH "
+                  "operating points of the count/chi2 tradeoff:", "",
+                  f"- headline (free count): chi2 **{w['chi2']:.3e} = "
+                  f"{w['chi2_ratio']}x** the reference output's optimum "
+                  f"({w['chi2_reference_graph']:.3e}) — BELOW the "
+                  f"reference's own association quality — at "
+                  f"{w['landmarks']} landmarks (reference "
+                  f"{w['landmarks_reference']})",
+                  f"- count-parity point: {cp.get('landmarks', '?')} "
+                  f"landmarks (reference {w['landmarks_reference']}) at "
+                  f"chi2 {cp.get('chi2_ratio', '?')}x — forcing the count "
+                  "down with a 0.8 m dedup merges genuinely distinct "
+                  "high-noise landmarks (measured 2.5x chi2); the extra "
+                  "fragments the EM keeps are statistically distinct "
+                  "observation clusters, and no ground-truth association "
+                  "exists for this world to arbitrate",
                   f"- ATE vs the reference graph's float64 optimum: "
                   f"**{w['ate_vs_reference_rmse']} m** (odometry "
                   f"{w['ate_odometry_rmse']} m)",
                   f"- wall {w['wall_s']} s; figure: "
                   "eval_out/unknown_da_world1000.png",
                   "- produced by: scripts/evaluate.py --only world1000"]
+    w2_path = os.path.join(OUT, "world2000.json")
+    if os.path.isfile(w2_path):
+        w2 = json.load(open(w2_path))
+        lines += ["", "### world-2000 vs the bundled TRUE-association "
+                  "graphs (r5)", "",
+                  "world-2000-full.g2o / -lownoise-full.g2o carry "
+                  "ground-truth data association (69 / 145 true "
+                  "landmarks), so the judge is the full graph's float64 "
+                  "optimum — and the reference tracker's own bundled "
+                  "output (*-default.g2o) is scored on the SAME bar "
+                  "(protocol: datasets/2D/params.txt:4-8).", "",
+                  "| dataset | ours ATE | ref tracker ATE | odometry | "
+                  "ours lms | true | ref lms | ours chi2/opt |",
+                  "|---|---|---|---|---|---|---|---|"]
+        for name, r in w2.items():
+            lines.append(
+                f"| {r['dataset']} | **{r['ate_vs_full_optimum']} m** | "
+                f"{r['ate_reference_tracker_vs_full_optimum']} m | "
+                f"{r['ate_odometry_vs_full_optimum']} m | "
+                f"{r['landmarks']} | {r['landmarks_true']} | "
+                f"{r['landmarks_reference']} | "
+                f"{r['chi2'] / r['chi2_full_optimum']:.2f}x |")
+        lines += ["",
+                  "The reference tracker's own output lands WORSE than raw "
+                  "odometry on both variants and fragments 2.4-6.7x over "
+                  "the true landmark count; the r5 recipes (validated "
+                  "tracking on high-noise, plain tracking + association EM "
+                  "on lownoise) reach near-truth counts and 12-41x lower "
+                  "ATE than the reference tracker.",
+                  "- produced by: scripts/evaluate.py --only world2000; "
+                  "gated by tests/test_world2000.py"]
     tb_path = os.path.join(OUT, "tpu_bench.json")
     if os.path.isfile(tb_path):
         t = json.load(open(tb_path))
@@ -1036,16 +1099,24 @@ def main():
     if os.path.isfile(sc_path):
         s = json.load(open(sc_path))
         lines += ["", "## 7. Distributed scaling (virtual CPU meshes)", "",
-                  f"Edge-sharded SE2 LM on {s['dataset']} "
-                  f"({s['iters']} LM x {s['cg_iters']} CG):", "",
-                  "| devices | LM iters/s | vs 1 device | chi2 final |",
-                  "|---|---|---|---|"]
+                  f"r5: the scaling ladder runs on the SAME distributed "
+                  "Schur/SPIKE/Woodbury solver the accuracy gates run on "
+                  "(schur columns), next to the edge-sharded baseline. "
+                  f"{s['dataset']} ({s['iters']} LM x {s['cg_iters']} CG):",
+                  "",
+                  "| devices | schur LM it/s | schur vs 1dev | "
+                  "edge-sharded LM it/s | vs 1dev |",
+                  "|---|---|---|---|---|"]
         base = s["results"]["1"]["lm_iters_per_s"] if "1" in s["results"] else None
+        base_s = (s["results"]["1"].get("schur_lm_iters_per_s")
+                  if "1" in s["results"] else None)
         for nd, r in s["results"].items():
             rel = r["lm_iters_per_s"] / base if base else float("nan")
+            rs = r.get("schur_lm_iters_per_s")
+            rel_s = rs / base_s if (rs and base_s) else float("nan")
             lines.append(
-                f"| {nd} | {r['lm_iters_per_s']:.3f} | {rel:.3f} | "
-                f"{r['chi2_final']:.4e} |"
+                f"| {nd} | {f'{rs:.3f}' if rs else '-'} | {rel_s:.3f} | "
+                f"{r['lm_iters_per_s']:.3f} | {rel:.3f} |"
             )
         lines += ["",
                   "Virtual devices share the host's cores, so aggregate "
@@ -1092,6 +1163,9 @@ def main():
         if h.get("weak"):
             eff = " / ".join(
                 f"{r['weak_efficiency']:.2f}" for r in h["weak"])
+            eff_s = " / ".join(
+                f"{r.get('schur_weak_efficiency', float('nan')):.2f}"
+                for r in h["weak"])
             devs = "/".join(str(r["devices"]) for r in h["weak"])
             lines += [
                 f"Weak scaling (fixed per-device work, "
@@ -1102,7 +1176,12 @@ def main():
                 "the exchange — per-device wire volume stays "
                 f"<{max(r['bytes_per_matvec_per_device'] for r in h['weak'])/1024:.1f} "
                 "KB/matvec throughout. Real weak scaling needs an ICI slice "
-                "(BASELINE.md).", ""]
+                f"(BASELINE.md). Schur-solver weak efficiency {eff_s}: it "
+                "holds to NL~256 per world and collapses at NL=512 — the "
+                "replicated Woodbury arrow's O(NL^2) wall, now MEASURED; "
+                "the landmark-rich regime beyond it belongs to the "
+                "edge-sharded block-Jacobi path (the guard in "
+                "partitioned_schur raises at NL>4096).", ""]
         lines += [
             "Preconditioning: `precond=\"chain\"` gives each device a "
             "block-LOCAL cyclic-reduction factor of its own odometry-chain "
@@ -1142,6 +1221,16 @@ def main():
                 f"{r['chi2_vs_control']:.4f} | {r['lm_iters']} | "
                 f"{r['cg_total']} | {r['halo_bytes_per_matvec']} | "
                 f"{r['replicated_psum_floats_per_cg_iter']} |")
+        ap = d.get("arrow_probe_nl600")
+        if ap:
+            lines += ["",
+                      f"Replicated-arrow probe at NL={ap['landmarks']} "
+                      f"({ap['dataset']}, {ap['devices']} devices): chi2 "
+                      f"**{ap['chi2_vs_control']}x control** in "
+                      f"{ap['wall_s']} s — the landmark-richest bundled "
+                      "graph clears the accuracy gate; the arrow's "
+                      "practical regime boundary is the weak-scaling wall "
+                      "above, not correctness."]
         lines += ["", f"({d['note']})",
                   "- produced by: scripts/bench_distributed_schur.py; "
                   "gated in dryrun_multichip, bench.py "

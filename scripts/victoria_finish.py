@@ -108,7 +108,8 @@ def track(frames=6969, inloop=0, inloop_iters=10, state_path=STATE):
 
 def track_validated(frames=6969, every=50, state_path=STATE,
                     chi2_slack=2.0, chi2_abs=300.0, solve_iters=8,
-                    frame_closure=False, inc_gate=2.0):
+                    frame_closure=False, inc_gate=2.0,
+                    use_close_loops=True):
     """Tracking with chi2-VALIDATED loop closures: every closure batch is
     immediately absorbed by an exact solve; a batch whose optimized chi2
     jumps past the running trend is rolled back (poses included). Keeps the
@@ -142,14 +143,20 @@ def track_validated(frames=6969, every=50, state_path=STATE,
         if frame_closure and (k + 1) % 15 == 0:
             drift_before = tr._drift_frames
             snap = _snapshot(tr)
-            wpairs = tr.propose_window_closure(apply=False)
+            prop = tr.propose_window_closure(apply=False)
+            wpairs = prop["pairs"] if prop else []
             if wpairs:
-                gate = chi2_ref + 1500.0
-                # all-or-nothing absorb (25-iter exact solve): per-pair
-                # carving measured harmful online (keeps consistent-but-
-                # wrong subsets; ATE 18.1 -> 32.9)
-                n_acc, chi2, _ns = _try_absorb_split(tr, wpairs, gate,
-                                                     iters=25)
+                from g2o_frontend_tpu.slam.validated_slam import (
+                    absorb_closure)
+
+                gate = chi2_slack * chi2_ref + chi2_abs
+                # all-or-nothing absorb (25-iter exact solve, basin-jump
+                # warp): per-pair carving measured harmful online (keeps
+                # consistent-but-wrong subsets; ATE 18.1 -> 32.9)
+                n_acc, chi2, _ns = absorb_closure(
+                    tr, wpairs, gate, iters=25,
+                    warp=(prop["transform"], prop["window_start"],
+                          len(tr.poses)))
                 if n_acc:
                     chi2_ref = max(chi2_ref, chi2)
                     tr._drift_frames = 0
@@ -165,7 +172,7 @@ def track_validated(frames=6969, every=50, state_path=STATE,
                     n_edges_ref = len(tr.obs_edges)
         if (k + 1) % every == 0:
             snap = _snapshot(tr)
-            merged = tr.close_loops()
+            merged = tr.close_loops() if use_close_loops else 0
             chi2 = tr.optimize(local=False, iters=solve_iters)
             d_edges = max(len(tr.obs_edges) - n_edges_ref, 0)
             gate_r = chi2_ref + max(150.0, 2.5 * d_edges)
@@ -796,12 +803,124 @@ def finish_valwin(tr, window=60, step=30, old_age=150, radius=45.0,
     return tr.optimize(local=False, iters=25)
 
 
+def finish_valwin_force(tr, window=60, step=30, old_age=150, radius=45.0,
+                        rot_gate=0.8, min_inliers=6):
+    """valwin + forced absorption: a window whose batch fails the chi2
+    gate is retried with the conflicting constraints PRUNED — apply the
+    merges, solve, drop obs edges with chi2 > 150 (the wrong constraints
+    a fully-absorbed chimera carries), re-associate, re-solve, and accept
+    iff the end state passes a looser gate with <3% of edges pruned."""
+    from g2o_frontend_tpu.slam.constellation import match_constellations
+    from g2o_frontend_tpu.slam.feature_tracker import _se2_apply_np
+    from g2o_frontend_tpu.slam.validated_slam import absorb_closure
+
+    t0 = time.perf_counter()
+    tr.cfg.global_solver = "control"
+    chi2_ref = tr.optimize(local=False, iters=30)
+    print(f"  [t={time.perf_counter()-t0:.0f}s] init chi2={chi2_ref:.0f} "
+          f"lms={int(tr.lm_alive.sum())}", flush=True)
+    n = len(tr.poses)
+    for rnd in range(3):
+        accepted = 0
+        lm_frames = {}
+        for (p, l, z, w) in tr.obs_edges:
+            lm_frames.setdefault(l, []).append(p)
+        lm_frames = {l: np.sort(np.asarray(v)) for l, v in lm_frames.items()}
+        for s0 in range(0, max(n - window, 1), step):
+            s1 = s0 + window
+            acc = {}
+            for (p, l, z, w) in tr.obs_edges:
+                if s0 <= p < s1 and tr.lm_alive[l]:
+                    acc.setdefault(int(l), []).append(_se2_apply_np(
+                        np.asarray(tr.poses[p], np.float32),
+                        np.asarray(z, np.float32)[None])[0])
+            if len(acc) < min_inliers:
+                continue
+            ids_a = np.array(sorted(acc), np.int64)
+            pos_a = np.stack([np.mean(acc[int(l)], 0) for l in ids_a])
+            in_w = set(ids_a.tolist())
+            old = []
+            for l in np.where(tr.lm_alive)[0]:
+                if l in in_w or l not in lm_frames:
+                    continue
+                f = lm_frames[l]
+                kk = np.searchsorted(f, s0 - old_age)
+                if kk < len(f) and f[kk] < s1 + old_age:
+                    continue
+                old.append(l)
+            old = np.asarray(old, np.int64)
+            if len(old) < min_inliers:
+                continue
+            centroid = pos_a.mean(0)
+            span = float(np.linalg.norm(pos_a - centroid, axis=1).max())
+            d = np.linalg.norm(tr.landmarks[old] - centroid, axis=1)
+            B_idx = old[d < radius + span + 5.0]
+            if len(B_idx) < min_inliers:
+                continue
+            m = match_constellations(
+                pos_a, tr.landmarks[B_idx], dist_tol=0.4,
+                inlier_threshold=1.0, min_inliers=min_inliers,
+                min_pair_sep=1.0, max_pair_sep=2.0 * span + 5.0,
+                trans_gate=radius, rot_gate=rot_gate, seed=s0 + rnd)
+            if not m.ok:
+                continue
+            pairs = [(int(ids_a[ia]), int(B_idx[ib])) for ia, ib in m.pairs
+                     if int(ids_a[ia]) != int(B_idx[ib])]
+            if len(pairs) < 3:
+                continue
+            n_acc, chi2, ns = absorb_closure(
+                tr, pairs, 1.4 * chi2_ref + 500.0, iters=20,
+                warp=(m.transform, s0, s1))
+            if n_acc:
+                chi2_ref = max(chi2_ref, chi2)
+                accepted += 1
+                print(f"    w{s0}: merged {n_acc} chi2={chi2:.0f}",
+                      flush=True)
+                continue
+            # FORCED path: apply, solve, prune conflicts, re-judge
+            snap = _snapshot(tr)
+            for la, lb in pairs:
+                if tr.lm_alive[la] and tr.lm_alive[lb]:
+                    tr._merge_landmarks(lb, la)
+            tr.optimize(local=False, iters=20)
+            n_edges = len(tr.obs_edges)
+            dropped = _prune_bad_obs(tr, chi2_gate=150.0)
+            tr.cull_weak_landmarks(min_obs=2)
+            tr.reassociate(gate=1.0)
+            chi2 = tr.optimize(local=False, iters=20)
+            if dropped <= 0.03 * n_edges and chi2 <= 1.5 * chi2_ref + 1000:
+                chi2_ref = max(chi2_ref, chi2)
+                accepted += 1
+                print(f"    w{s0}: FORCED merged {len(pairs)} "
+                      f"pruned={dropped} chi2={chi2:.0f} "
+                      f"[t={time.perf_counter()-t0:.0f}s]", flush=True)
+            else:
+                _rollback(tr, snap)
+                print(f"    w{s0}: rejected even forced "
+                      f"(pruned={dropped}, chi2={chi2:.0f})", flush=True)
+        print(f"  [t={time.perf_counter()-t0:.0f}s] round {rnd}: "
+              f"{accepted} accepted, lms={int(tr.lm_alive.sum())}",
+              flush=True)
+        if accepted == 0:
+            break
+    for _r in range(4):
+        m2 = tr.merge_landmarks_mahalanobis(chi2_gate=9.21,
+                                            prefilter_distance=10.0)
+        moved = tr.reassociate(gate=1.0)
+        if not (m2 or moved):
+            break
+        chi2 = tr.optimize(local=False, iters=15)
+    if tr.cull_weak_landmarks(min_obs=2):
+        tr.reassociate(gate=1.0)
+    return tr.optimize(local=False, iters=25)
+
+
 STRATEGIES = {"r3": finish_r3, "em6": finish_em6, "em7": finish_em7,
               "em6h": finish_em6h, "em6b": finish_em6b,
               "em6c": finish_em6c, "em6d": finish_em6d,
               "con": finish_con, "con_em6": finish_con_em6,
               "con2": finish_con2, "hier": finish_hier,
-              "valwin": finish_valwin,
+              "valwin": finish_valwin, "valwin_force": finish_valwin_force,
               "valwin2": lambda tr: finish_valwin(tr, split=True,
                                                   greedy=True, rounds=3)}
 
@@ -817,6 +936,7 @@ if __name__ == "__main__":
     ap.add_argument("--slack", type=float, default=2.0)
     ap.add_argument("--abs", dest="cabs", type=float, default=300.0)
     ap.add_argument("--inc-gate", type=float, default=2.0)
+    ap.add_argument("--no-close-loops", action="store_true")
     ap.add_argument("--inloop-iters", type=int, default=10)
     ap.add_argument("--state", default=STATE)
     args = ap.parse_args()
@@ -824,7 +944,8 @@ if __name__ == "__main__":
         track_validated(args.frames, state_path=args.state,
                         frame_closure=args.frame_closure,
                         chi2_slack=args.slack, chi2_abs=args.cabs,
-                        inc_gate=args.inc_gate)
+                        inc_gate=args.inc_gate,
+                        use_close_loops=not args.no_close_loops)
     elif args.save:
         track(args.frames, inloop=args.inloop,
               inloop_iters=args.inloop_iters, state_path=args.state)
