@@ -466,8 +466,9 @@ def eval_world2000(fast):
         res = wf.evaluate(tr, st, chi2, time.perf_counter() - t0,
                           "shipped", name)
         out[name] = res
-    with open(os.path.join(OUT, "world2000.json"), "w") as fh:
-        json.dump(out, fh)
+    if not fast:  # never clobber the full-run artifact with a smoke run
+        with open(os.path.join(OUT, "world2000.json"), "w") as fh:
+            json.dump(out, fh)
     return out
 
 
